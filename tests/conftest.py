@@ -1,0 +1,29 @@
+"""Test harness config: force an 8-device CPU mesh (SURVEY.md §4.6).
+
+Tests never touch the real TPU — they run on a virtual 8-device CPU
+backend so distributed code paths (shard_map, psum, ppermute) execute in
+one process, and so `pytest -n` workers don't fight over the single chip.
+Must run before jax initializes its backends, hence module level here.
+"""
+
+import os
+
+# The axon sitecustomize registers the TPU plugin and pins jax_platforms
+# at interpreter start, so env vars alone are too late/ignored —
+# override via jax.config after import (verified to stick).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
