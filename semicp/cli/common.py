@@ -1,0 +1,68 @@
+"""Shared CLI plumbing: scan loading (KITTI or synthetic), run dirs."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from semicp.config import Config
+from semicp.cloud import Cloud, make_cloud, preprocess_cloud
+from semicp.data import (
+    load_semantickitti_labels,
+    load_velodyne_bin,
+    remap_semantickitti,
+)
+from semicp.data.kitti import voxel_downsample
+
+
+def load_scan_np(bin_path, label_path=None, voxel: float = 0.0):
+    """Load one KITTI scan (+ optional SemanticKITTI labels) as numpy."""
+    pts = load_velodyne_bin(bin_path)[:, :3]
+    if label_path is not None:
+        raw, _ = load_semantickitti_labels(label_path)
+        lab = remap_semantickitti(raw)
+        if len(lab) != len(pts):
+            raise ValueError(f"scan/label length mismatch: {len(pts)} vs {len(lab)}")
+    else:
+        lab = np.zeros(len(pts), np.int32)
+    if voxel > 0:
+        pts, lab = voxel_downsample(pts, lab, voxel)
+    return pts.astype(np.float32), lab.astype(np.int32)
+
+
+def to_device_cloud(pts, lab, cfg: Config) -> Cloud:
+    c = make_cloud(pts, lab, n_pad=cfg.cloud.n_pad)
+    return preprocess_cloud(c, cfg.cov)
+
+
+def sequence_frames(seq_dir: str | Path):
+    """List (bin, label|None) pairs for a KITTI sequence directory layout:
+    <seq>/velodyne/*.bin and optional <seq>/labels/*.label."""
+    seq = Path(seq_dir)
+    bins = sorted((seq / "velodyne").glob("*.bin"))
+    labels_dir = seq / "labels"
+    out = []
+    for b in bins:
+        lbl = labels_dir / (b.stem + ".label")
+        out.append((b, lbl if lbl.exists() else None))
+    return out
+
+
+def init_run_dir(path: str | Path | None, cfg: Config):
+    """Create a run directory with the serialized config (reproducibility)."""
+    if path is None:
+        return None
+    run = Path(path)
+    run.mkdir(parents=True, exist_ok=True)
+    (run / "config.json").write_text(cfg.to_json())
+    return run
+
+
+def pose_to_json(T) -> list:
+    return np.asarray(T, np.float64).reshape(-1).tolist()
+
+
+def print_result(tag: str, result_dict: dict):
+    print(json.dumps({"tag": tag, **result_dict}))

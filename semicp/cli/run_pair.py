@@ -1,0 +1,106 @@
+"""Pairwise alignment driver — config 1 (BASELINE.json:7).
+
+Reference counterpart: the pairwise PCD align main (SURVEY.md §2.1 row
+"Pairwise align driver", §3.1): load two labeled scans, align, print the
+transform and timing.
+
+Usage:
+  python -m semicp.cli.run_pair --src scan0.bin --tgt scan1.bin \
+      [--src-labels s0.label --tgt-labels s1.label] [--voxel 0.25] \
+      [--synthetic N] [--em.max_iters=40 ...config overrides] [--jsonl out.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semicp.config import Config, parse_overrides
+from semicp.cli.common import load_scan_np, print_result, to_device_cloud
+from semicp.register import make_align_fn
+from semicp.utils import MetricsLogger, PhaseTimer
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src")
+    ap.add_argument("--tgt")
+    ap.add_argument("--src-labels")
+    ap.add_argument("--tgt-labels")
+    ap.add_argument("--voxel", type=float, default=0.0)
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate a synthetic pair with N points instead of loading files")
+    ap.add_argument("--jsonl", default=None)
+    ap.add_argument("--repeat", type=int, default=1)
+    return ap
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    ap = build_parser()
+    args, extra = ap.parse_known_args(argv)
+    cfg = Config().override(parse_overrides(extra))
+
+    timer = PhaseTimer()
+    if args.synthetic:
+        from semicp.data import make_pair, make_scene
+
+        rng = np.random.default_rng(0)
+        tgt_pts, tgt_lab = make_scene(rng, n_points=args.synthetic)
+        tgt_lab = tgt_lab - 1
+        delta = np.array([0.4, -0.2, 0.05, 0.02, -0.01, 0.05])
+        src_pts, src_lab, T_gt = make_pair(rng, tgt_pts, tgt_lab, delta, n_classes=6)
+        cfg = cfg.override({"cloud.num_classes": 8})
+    else:
+        if not (args.src and args.tgt):
+            ap.error("--src/--tgt or --synthetic required")
+        with timer.phase("load"):
+            src_pts, src_lab = load_scan_np(args.src, args.src_labels, args.voxel)
+            tgt_pts, tgt_lab = load_scan_np(args.tgt, args.tgt_labels, args.voxel)
+        T_gt = None
+
+    with timer.phase("preprocess"):
+        src = to_device_cloud(src_pts, src_lab, cfg)
+        tgt = to_device_cloud(tgt_pts, tgt_lab, cfg)
+        jax.block_until_ready((src.cov6, tgt.cov6))
+
+    align_fn = make_align_fn(cfg)
+    with timer.phase("compile+first_align"):
+        res = align_fn(src, tgt)
+        jax.block_until_ready(res.T)
+    for _ in range(args.repeat - 1):
+        with timer.phase("align"):
+            res = align_fn(src, tgt)
+            jax.block_until_ready(res.T)
+
+    T = np.asarray(res.T, np.float64)
+    out = {
+        "T": T.reshape(-1).tolist(),
+        "iterations": int(res.iterations),
+        "converged": bool(res.converged),
+        "cost": float(res.cost),
+        "n_corr": float(res.n_corr),
+        "n_src": int(len(src_pts)),
+        "n_tgt": int(len(tgt_pts)),
+        "timing": timer.summary(),
+    }
+    if T_gt is not None:
+        err = T @ np.linalg.inv(np.asarray(T_gt, np.float64))
+        out["trans_err_m"] = float(np.linalg.norm(err[:3, 3]))
+        out["rot_err_rad"] = float(
+            np.arccos(np.clip((np.trace(err[:3, :3]) - 1) / 2, -1, 1))
+        )
+    with MetricsLogger(args.jsonl) as ml:
+        ml.log(**out)
+    print_result("run_pair", out)
+    print(timer.table(), file=sys.stderr)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,17 +1,21 @@
-"""Padded SoA semantic point cloud — the TPU-native cloud representation.
+"""Padded planar-SoA semantic point cloud — the TPU-native representation.
 
 Replaces the reference's `SemanticPointCloud<PointT, SemanticT>`
 (expected at include/semantic_icp/semantic_point_cloud.h, SURVEY.md §2.1
-row "Semantic point cloud"). Design inversion vs the reference: instead
-of physically partitioning points into per-label sub-clouds each with its
-own kd-tree, labels are *data* — a single fixed-capacity structure-of-
-arrays with a validity mask. Per-class behavior is expressed by masking
-and composite sort keys (see semicp/corr/), which is what XLA's static-
-shape compilation model wants.
+row "Semantic point cloud"). Two design inversions vs the reference:
+
+1. Labels are *data*, not structure: no per-label sub-clouds or
+   per-label kd-trees; per-class behavior comes from masking and
+   composite sort keys (semicp/corr/).
+2. Planar layout: positions are three (N,) coordinate planes stacked as
+   (3, N); covariances are six symmetric-component planes (6, N) in
+   semicp.geom.sym3 order. XLA tiles the minor-most two dims of every
+   array to (8,128); an (N,3) or (N,3,3) layout pads 3->128 lanes and
+   wastes 42x-1139x HBM (measured: 58 GB for a 1.4 GB logical gather).
+   Planar arrays have N on the lane dimension — perfect tiling.
 
 All arrays are padded to a static capacity `n_pad`; `valid` masks the
-tail. Every downstream reduction must be mask-correct (SURVEY.md §7
-"Hard parts" #2).
+tail and every reduction must be mask-correct (SURVEY.md §7 hard part #2).
 """
 
 from __future__ import annotations
@@ -23,30 +27,35 @@ from flax import struct
 
 @struct.dataclass
 class Cloud:
-    """Structure-of-arrays semantic cloud (a JAX pytree).
+    """Planar structure-of-arrays semantic cloud (a JAX pytree).
 
-    xyz:   (N_pad, 3) float32 — positions; padded rows hold FAR sentinel
-    label: (N_pad,)   int32   — semantic class ids; padded rows -1
-    cov:   (N_pad, 3, 3) float32 — GICP-regularized covariances (identity
-           until `preprocess_cloud` fills them)
+    xyz:   (3, N_pad) float32 — coordinate planes; padded cols = FAR
+    label: (N_pad,)   int32   — semantic class ids; padded = -1
+    cov6:  (6, N_pad) float32 — GICP-regularized covariance components
+           (sym3 order xx,yy,zz,xy,xz,yz); identity until preprocessed
     valid: (N_pad,)   bool
-    count: ()         int32   — number of valid points
+    count: ()         int32
     """
 
     xyz: jnp.ndarray
     label: jnp.ndarray
-    cov: jnp.ndarray
+    cov6: jnp.ndarray
     valid: jnp.ndarray
     count: jnp.ndarray
 
     @property
     def n_pad(self) -> int:
-        return self.xyz.shape[0]
+        return self.xyz.shape[1]
+
+    def points(self) -> np.ndarray:
+        """Host-side (count, 3) view for tests/inspection."""
+        n = int(self.count)
+        return np.asarray(self.xyz).T[:n]
 
 
 # Padded points are parked far outside any plausible scan so they can never
-# be a nearest neighbor even without explicit masking; masking is still
-# applied everywhere, this is defense in depth.
+# be a nearest neighbor even without masking; masking is still applied
+# everywhere, this is defense in depth.
 FAR = 1.0e6
 
 
@@ -60,7 +69,7 @@ def pad_to(arr: np.ndarray, n_pad: int, fill) -> np.ndarray:
 
 
 def make_cloud(xyz: np.ndarray, label: np.ndarray | None = None, n_pad: int | None = None) -> Cloud:
-    """Build a padded device Cloud from host numpy arrays."""
+    """Build a padded device Cloud from host (N,3)/(N,) numpy arrays."""
     xyz = np.asarray(xyz, np.float32)
     n = xyz.shape[0]
     if label is None:
@@ -68,15 +77,16 @@ def make_cloud(xyz: np.ndarray, label: np.ndarray | None = None, n_pad: int | No
     label = np.asarray(label, np.int32)
     if n_pad is None:
         n_pad = max(8, 1 << int(np.ceil(np.log2(max(n, 1)))))
-    xyz_p = pad_to(xyz, n_pad, FAR)
+    xyz_p = pad_to(xyz, n_pad, FAR).T.copy()           # (3, N_pad)
     lab_p = pad_to(label, n_pad, -1)
     valid = np.zeros((n_pad,), bool)
     valid[:n] = True
-    cov = np.broadcast_to(np.eye(3, dtype=np.float32), (n_pad, 3, 3)).copy()
+    cov6 = np.zeros((6, n_pad), np.float32)
+    cov6[:3] = 1.0                                     # identity components
     return Cloud(
         xyz=jnp.asarray(xyz_p),
         label=jnp.asarray(lab_p),
-        cov=jnp.asarray(cov),
+        cov6=jnp.asarray(cov6),
         valid=jnp.asarray(valid),
         count=jnp.asarray(n, jnp.int32),
     )

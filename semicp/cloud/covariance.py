@@ -1,16 +1,20 @@
-"""GICP plane-to-plane per-point covariance estimation — batched, one pass.
+"""GICP plane-to-plane per-point covariance estimation — planar, one pass.
 
 Reference counterpart: covariance construction inside SemanticPointCloud
 (k~20 FLANN kNN per point + Eigen::SelfAdjointEigenSolver + eigenvalue
 clamp to (1,1,eps); SURVEY.md §2.1 row "Per-point covariance estimation",
 §2.2 step 1, §3.4). The reference computes each point's neighborhood
 within its own semantic class's sub-cloud; `class_aware=True` reproduces
-that via the composite-key hash grid.
+that.
 
-TPU shape: voxel-hash kNN gather (no trees), empirical covariance as a
-fused masked reduction, and the clamp via the rank-1 identity
-C_reg = I - (1-eps) n n^T (see semicp/geom/eig3.py) — pure VPU work,
-vmapped over all points at once, amortized across EM iterations.
+TPU shape: the kNN comes from the MXU brute-force engine
+(semicp.corr.bruteforce.knn_self — tiled distance matmuls + streaming
+top-k; see that module for why gather/tree approaches lose on TPU).
+Neighbor coordinates are gathered as (N, k) planes, the empirical
+covariance is six masked component reductions, and the clamp uses the
+rank-1 identity C_reg = I - (1-eps) n n^T
+(semicp.geom.sym3.regularize_gicp) — pure VPU work, amortized across
+EM iterations.
 """
 
 from __future__ import annotations
@@ -19,37 +23,52 @@ import jax.numpy as jnp
 
 from semicp.cloud.cloud import Cloud
 from semicp.config import CovConfig
-from semicp.corr.hashgrid import build_grid, query_knn
-from semicp.geom.eig3 import gicp_regularize
+from semicp.corr.bruteforce import knn_self
+from semicp.geom import sym3
 
 
 def estimate_covariances(
     cloud: Cloud, cfg: CovConfig, class_aware: bool = True
 ) -> jnp.ndarray:
-    """Return (N_pad, 3, 3) regularized covariances for every valid point.
+    """Return (6, N_pad) regularized covariance planes for valid points.
 
-    Points with < 3 valid neighbors get an isotropic (identity-scaled)
-    covariance — the branchless analogue of the reference's skip.
+    Points with < 3 valid neighbors get the identity — the branchless
+    analogue of the reference's skip.
     """
-    grid = build_grid(cloud, cell=cfg.cell, class_aware=class_aware)
-    q_class = jnp.where(class_aware, jnp.maximum(cloud.label, 0), 0)
-    idx, d2, valid = query_knn(
-        grid, cloud.xyz, q_class, k=cfg.k, bucket_cap=cfg.max_candidates
+    idx, _d2, nvalid = knn_self(
+        cloud.xyz, jnp.maximum(cloud.label, 0), cloud.valid, k=cfg.k,
+        class_aware=class_aware,
     )
-    # Gather neighbor coordinates (indices are into the sorted grid arrays)
-    nbr = jnp.take(grid.xyz, idx, axis=0)            # (N, k, 3)
-    w = valid.astype(jnp.float32)                    # (N, k)
-    cnt = jnp.sum(w, -1, keepdims=True)              # (N, 1)
-    safe_cnt = jnp.maximum(cnt, 1.0)
-    mean = jnp.sum(nbr * w[..., None], -2) / safe_cnt        # (N, 3)
-    ctr = (nbr - mean[:, None, :]) * w[..., None]
-    cov = jnp.einsum("nki,nkj->nij", ctr, ctr) / safe_cnt[..., None]
-    reg = gicp_regularize(cov, cfg.eps)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
-    enough = (cnt[..., None] >= 3.0) & cloud.valid[:, None, None]
-    return jnp.where(enough, reg, eye)
+    w = nvalid.astype(jnp.float32)                   # (N, k)
+    cnt = jnp.sum(w, -1)                             # (N,)
+    safe = jnp.maximum(cnt, 1.0)
+
+    # Planar neighbor gathers: (N, k) per coordinate
+    nx = jnp.take(cloud.xyz[0], idx)
+    ny = jnp.take(cloud.xyz[1], idx)
+    nz = jnp.take(cloud.xyz[2], idx)
+    mx = jnp.sum(nx * w, -1) / safe
+    my = jnp.sum(ny * w, -1) / safe
+    mz = jnp.sum(nz * w, -1) / safe
+    cx = (nx - mx[:, None]) * w
+    cy = (ny - my[:, None]) * w
+    cz = (nz - mz[:, None]) * w
+    # empirical covariance components; w in {0,1} so w^2 == w
+    cov = (
+        jnp.sum(cx * cx, -1) / safe,
+        jnp.sum(cy * cy, -1) / safe,
+        jnp.sum(cz * cz, -1) / safe,
+        jnp.sum(cx * cy, -1) / safe,
+        jnp.sum(cx * cz, -1) / safe,
+        jnp.sum(cy * cz, -1) / safe,
+    )
+    reg = sym3.regularize_gicp(cov, cfg.eps)
+    enough = (cnt >= 3.0) & cloud.valid
+    eye = sym3.identity_like(cov[0])
+    out = tuple(jnp.where(enough, r, e) for r, e in zip(reg, eye))
+    return sym3.pack(out)
 
 
 def preprocess_cloud(cloud: Cloud, cfg: CovConfig, class_aware: bool = True) -> Cloud:
-    """Fill `cloud.cov` with GICP-regularized covariances (jit-able)."""
-    return cloud.replace(cov=estimate_covariances(cloud, cfg, class_aware))
+    """Fill `cloud.cov6` with GICP-regularized covariances (jit-able)."""
+    return cloud.replace(cov6=estimate_covariances(cloud, cfg, class_aware))

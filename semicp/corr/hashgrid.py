@@ -5,8 +5,8 @@ inside SemanticPointCloud, queried point-by-point in the E-step
 (SURVEY.md §2.1 row "Per-class kd-tree NN search", §3.1 HOT LOOP #1).
 BASELINE.json:5 mandates replacing kd-trees with a batched voxel-grid-hash
 kernel; this module is the XLA implementation (the Pallas fast path lives
-in semicp/corr/pallas_nn.py and must agree with this one bit-for-bit on
-the candidate contract).
+in semicp/corr/pallas_nn.py and must agree with it on the candidate
+contract).
 
 Scheme
 ------
@@ -14,18 +14,20 @@ Build: each point gets a composite integer key
     key = class_id * C + linear_cell_id,   C = GX*GY*GZ
 where cell coords are floor(xyz/cell) wrapped modulo (GX,GY,GZ). Points
 are sorted by key; a bucket is a contiguous run of equal keys. Per-class
-search is just a key offset — no per-class data structures (the labels-
-as-data inversion, see semicp/cloud/cloud.py).
+search is just a key offset — no per-class data structures.
 
 Query: probe the 27 neighbor cells of the query's cell (for the query
-class), locate each bucket by binary search in the sorted keys, gather up
-to `bucket_cap` candidates per bucket, and reduce.
+class), locate each bucket by binary search in the sorted keys, gather
+up to `bucket_cap` candidates per bucket, and reduce. All coordinate
+gathers are *planar* — one (Q, 27*cap) gather per coordinate plane —
+so every materialized array has its big dimension on TPU lanes (see
+semicp/cloud/cloud.py on why (N,3) layouts are toxic).
 
 Exactness contract: if cell >= max_dist, every target point within
 max_dist of the query lies in one of the 27 probed cells, so the true
 nearest neighbor inside the gate is found exactly *unless* its bucket
-run is longer than bucket_cap (mitigate with voxel downsampling and/or a
-larger cap; aliasing from the modulo wrap only ever adds far-away
+run is longer than bucket_cap (mitigate with voxel downsampling and/or
+a larger cap; aliasing from the modulo wrap only ever adds far-away
 candidates, which the distance test rejects — it never removes true
 ones, though aliased runs do consume cap).
 """
@@ -39,12 +41,11 @@ from flax import struct
 from semicp.cloud.cloud import Cloud
 
 # Static grid dimensions (cells per axis, wrapped modulo). 128*128*64 = 2^20
-# cells; with cell=2 m this covers a 256 m x 256 m x 128 m region alias-free —
-# larger than any KITTI scan. Must stay a compile-time constant.
+# cells; with cell=2 m this covers 256 m x 256 m x 128 m alias-free — larger
+# than any KITTI scan. Compile-time constant.
 GRID_DIMS = (128, 128, 64)
 _C = GRID_DIMS[0] * GRID_DIMS[1] * GRID_DIMS[2]
 
-# Key for invalid/padded points: larger than any real key (class < 2048).
 _INVALID_KEY = jnp.int32(2**31 - 1)
 
 INF = jnp.float32(3.0e37)
@@ -52,40 +53,36 @@ INF = jnp.float32(3.0e37)
 
 @struct.dataclass
 class HashGrid:
-    """Target cloud sorted by composite (class, cell) key."""
+    """Target cloud sorted by composite (class, cell) key, planar layout."""
 
-    key: jnp.ndarray    # (N,)  int32, ascending; invalid rows = _INVALID_KEY
-    xyz: jnp.ndarray    # (N,3) float32, sorted
-    cov: jnp.ndarray    # (N,3,3) float32, sorted
-    label: jnp.ndarray  # (N,) int32, sorted
-    order: jnp.ndarray  # (N,) int32 — original index of each sorted row
-    cell: jnp.ndarray   # ()  float32 — cell size used at build
+    key: jnp.ndarray    # (N,)   int32 ascending; invalid rows = _INVALID_KEY
+    xyz: jnp.ndarray    # (3, N) float32 coordinate planes, sorted
+    cov6: jnp.ndarray   # (6, N) float32 covariance planes, sorted
+    label: jnp.ndarray  # (N,)   int32, sorted
+    order: jnp.ndarray  # (N,)   int32 original index of each sorted row
+    cell: jnp.ndarray   # ()     float32 cell size used at build
 
 
-def _cell_id(xyz, cell):
-    """(...,3) float -> (...,) wrapped linear cell id, int32."""
-    c = jnp.floor(xyz / cell).astype(jnp.int32)
+def _cell_of(xyz_planes, cell):
+    """(3,N) planes -> integer cell coords (3 planes)."""
+    cx = jnp.floor(xyz_planes[0] / cell).astype(jnp.int32)
+    cy = jnp.floor(xyz_planes[1] / cell).astype(jnp.int32)
+    cz = jnp.floor(xyz_planes[2] / cell).astype(jnp.int32)
+    return cx, cy, cz
+
+
+def _linearize(cx, cy, cz):
     gx, gy, gz = GRID_DIMS
-    wx = jnp.remainder(c[..., 0], gx)
-    wy = jnp.remainder(c[..., 1], gy)
-    wz = jnp.remainder(c[..., 2], gz)
-    return (wx * gy + wy) * gz + wz
-
-
-def _cell_id_offset(xyz, cell, off):
-    """Cell id of floor(xyz/cell) + off for a static int offset triple."""
-    c = jnp.floor(xyz / cell).astype(jnp.int32)
-    gx, gy, gz = GRID_DIMS
-    wx = jnp.remainder(c[..., 0] + off[0], gx)
-    wy = jnp.remainder(c[..., 1] + off[1], gy)
-    wz = jnp.remainder(c[..., 2] + off[2], gz)
+    wx = jnp.remainder(cx, gx)
+    wy = jnp.remainder(cy, gy)
+    wz = jnp.remainder(cz, gz)
     return (wx * gy + wy) * gz + wz
 
 
 def build_grid(cloud: Cloud, cell: float, class_aware: bool = True) -> HashGrid:
     """Sort a cloud into a queryable hash grid. jit-safe, static shapes."""
     cell = jnp.asarray(cell, jnp.float32)
-    cid = _cell_id(cloud.xyz, cell)
+    cid = _linearize(*_cell_of(cloud.xyz, cell))
     cls = jnp.where(class_aware, jnp.maximum(cloud.label, 0), 0)
     key = cls * _C + cid
     key = jnp.where(cloud.valid, key, _INVALID_KEY)
@@ -93,8 +90,8 @@ def build_grid(cloud: Cloud, cell: float, class_aware: bool = True) -> HashGrid:
     key_s = jnp.take(key, order)
     return HashGrid(
         key=key_s.astype(jnp.int32),
-        xyz=jnp.take(cloud.xyz, order, axis=0),
-        cov=jnp.take(cloud.cov, order, axis=0),
+        xyz=jnp.take(cloud.xyz, order, axis=1),
+        cov6=jnp.take(cloud.cov6, order, axis=1),
         label=jnp.take(cloud.label, order),
         order=order.astype(jnp.int32),
         cell=cell,
@@ -105,35 +102,47 @@ _OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1
 
 
 def _candidates(grid: HashGrid, q_xyz, q_class, bucket_cap: int):
-    """Gather candidate indices for each query: (Q, 27*cap) int32 + validity.
+    """Candidate indices per query: (Q, 27*cap) int32 + validity mask.
 
-    q_xyz: (Q,3); q_class: (Q,) int32 (0 if grid built class-agnostic).
+    q_xyz: (3, Q) planes; q_class: (Q,) int32.
     """
     n = grid.key.shape[0]
+    cx, cy, cz = _cell_of(q_xyz, grid.cell)
     probe_keys = jnp.stack(
-        [q_class * _C + _cell_id_offset(q_xyz, grid.cell, off) for off in _OFFSETS], axis=-1
-    )  # (Q, 27)
-    starts = jnp.searchsorted(grid.key, probe_keys)  # (Q,27)
+        [q_class * _C + _linearize(cx + ox, cy + oy, cz + oz) for ox, oy, oz in _OFFSETS],
+        axis=0,
+    )  # (27, Q)
+    starts = jnp.searchsorted(grid.key, probe_keys)  # (27, Q)
     lanes = jnp.arange(bucket_cap, dtype=jnp.int32)
-    idx = starts[..., None] + lanes  # (Q,27,cap)
+    idx = starts[:, :, None] + lanes                 # (27, Q, cap)
     idx = jnp.minimum(idx, n - 1).astype(jnp.int32)
     cand_key = jnp.take(grid.key, idx)
-    ok = cand_key == probe_keys[..., None]
-    q = q_xyz.shape[0]
-    return idx.reshape(q, -1), ok.reshape(q, -1)
+    ok = cand_key == probe_keys[:, :, None]
+    q = q_xyz.shape[1]
+    # (Q, 27*cap): move the candidate axis last so Q rides sublanes and
+    # the 27*cap reduction axis rides lanes
+    idx = jnp.moveaxis(idx, 1, 0).reshape(q, -1)
+    ok = jnp.moveaxis(ok, 1, 0).reshape(q, -1)
+    return idx, ok
+
+
+def _cand_dist2(grid: HashGrid, q_xyz, idx, ok):
+    """Squared distances to candidates via planar gathers: (Q, 27*cap)."""
+    dx = jnp.take(grid.xyz[0], idx) - q_xyz[0][:, None]
+    dy = jnp.take(grid.xyz[1], idx) - q_xyz[1][:, None]
+    dz = jnp.take(grid.xyz[2], idx) - q_xyz[2][:, None]
+    d2 = dx * dx + dy * dy + dz * dz
+    return jnp.where(ok, d2, INF)
 
 
 def query_nn(grid: HashGrid, q_xyz, q_class, max_dist: float, bucket_cap: int = 16):
     """Nearest neighbor per query within max_dist (exact under the contract).
 
-    Returns (idx, dist2, found): idx indexes the *sorted* grid arrays
-    (use grid.xyz/cov/order directly); found is False where no candidate
-    passed the gate. Shapes: (Q,), (Q,), (Q,).
+    q_xyz: (3, Q) planes. Returns (idx, dist2, found) each (Q,); idx
+    indexes the *sorted* grid arrays.
     """
     idx, ok = _candidates(grid, q_xyz, q_class, bucket_cap)
-    cand = jnp.take(grid.xyz, idx, axis=0)  # (Q, 27*cap, 3)
-    d2 = jnp.sum((cand - q_xyz[:, None, :]) ** 2, -1)
-    d2 = jnp.where(ok, d2, INF)
+    d2 = _cand_dist2(grid, q_xyz, idx, ok)
     best = jnp.argmin(d2, -1)
     best_d2 = jnp.take_along_axis(d2, best[:, None], -1)[:, 0]
     best_idx = jnp.take_along_axis(idx, best[:, None], -1)[:, 0]
@@ -144,14 +153,12 @@ def query_nn(grid: HashGrid, q_xyz, q_class, max_dist: float, bucket_cap: int = 
 def query_knn(grid: HashGrid, q_xyz, q_class, k: int, bucket_cap: int = 16):
     """k nearest neighbors per query (for covariance estimation).
 
-    Returns (idx (Q,k), dist2 (Q,k), valid (Q,k)). Neighbors beyond the
-    27-cell probe radius are never seen — callers choose cell >= the
-    radius that matters. Ties/short buckets yield valid=False tails.
+    q_xyz: (3, Q). Returns (idx (Q,k), dist2 (Q,k), valid (Q,k)).
+    Neighbors beyond the 27-cell probe radius are never seen — callers
+    choose cell >= the radius that matters.
     """
     idx, ok = _candidates(grid, q_xyz, q_class, bucket_cap)
-    cand = jnp.take(grid.xyz, idx, axis=0)
-    d2 = jnp.sum((cand - q_xyz[:, None, :]) ** 2, -1)
-    d2 = jnp.where(ok, d2, INF)
+    d2 = _cand_dist2(grid, q_xyz, idx, ok)
     neg_top, pos = jax.lax.top_k(-d2, k)
     knn_d2 = -neg_top
     knn_idx = jnp.take_along_axis(idx, pos, -1)

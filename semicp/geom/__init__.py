@@ -13,3 +13,4 @@ from semicp.geom.se3 import (  # noqa: F401
     quat_to_rotmat,
 )
 from semicp.geom.eig3 import eigh3x3, cholesky3x3, cho_solve3x3  # noqa: F401
+from semicp.geom import sym3  # noqa: F401

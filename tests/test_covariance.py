@@ -1,0 +1,50 @@
+"""Covariance preprocessing vs the numpy oracle (SURVEY.md §4.2, §3.4)."""
+
+import numpy as np
+
+from semicp.cloud import make_cloud, preprocess_cloud
+from semicp.config import CovConfig
+from semicp.data import make_scene
+from semicp.geom import sym3
+from semicp.oracle import OracleParams, estimate_covariances_np
+
+
+def cov_matrices(cloud, n):
+    """Planar (6, N) covariance storage -> (n, 3, 3) numpy matrices."""
+    return np.asarray(sym3.to_matrix(tuple(cloud.cov6)))[:n]
+
+
+def test_planar_normals(rng):
+    plane = np.concatenate(
+        [rng.uniform(-8, 8, size=(2000, 2)), rng.normal(size=(2000, 1)) * 0.01], -1
+    ).astype(np.float32)
+    c = make_cloud(plane, np.zeros(2000, np.int32), n_pad=2048)
+    c = preprocess_cloud(c, CovConfig())
+    covs = cov_matrices(c, 2000).astype(np.float64)
+    w, V = np.linalg.eigh(covs)
+    # smallest eigenvalue clamped to eps, its eigvec ~ +-z
+    np.testing.assert_allclose(w[:, 0], 1e-3, rtol=1e-2)
+    assert np.mean(np.abs(V[:, 2, 0])) > 0.99
+
+
+def test_matches_oracle_covariances(rng):
+    xyz, lab = make_scene(rng, n_points=2000, extent=10.0)
+    lab = lab - 1
+    c = make_cloud(xyz, lab, n_pad=2048)
+    cfg = CovConfig(k=20, cell=1.5, max_candidates=64)
+    c = preprocess_cloud(c, cfg)
+    got = cov_matrices(c, 2000).astype(np.float64)
+    ref = estimate_covariances_np(
+        xyz.astype(np.float64), lab, OracleParams(cov_k=20)
+    )
+    # Compare the clamped covariance matrices; the hash-grid kNN may pick a
+    # slightly different neighbor set when neighbors span > cell radius, so
+    # compare where the oracle's 20th neighbor is within the probe radius.
+    ok = 0
+    for i in range(2000):
+        pool = xyz[lab == lab[i]]
+        d2 = np.sort(np.sum((pool - xyz[i]) ** 2, -1))
+        if len(d2) >= 20 and d2[19] < 1.5**2:
+            np.testing.assert_allclose(got[i], ref[i], atol=0.05)
+            ok += 1
+    assert ok > 100  # the comparison actually exercised a decent sample
