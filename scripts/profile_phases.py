@@ -58,7 +58,8 @@ def main():
 
     @jax.jit
     def estep_only(tgt, src, T):
-        return _estep(tgt, src, T, cfg)
+        flat = jnp.concatenate([tgt.xyz.reshape(-1), tgt.cov6.reshape(-1)])
+        return _estep(tgt, flat, src, T, cfg)
 
     ms_e, (x_pl, w, sinv) = timeit(estep_only, tgt, src, T0, reps=reps)
     print(f"E-step (NN+weights):      {ms_e:8.2f} ms")

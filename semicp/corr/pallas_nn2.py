@@ -1,0 +1,185 @@
+"""Fused per-class NN v2 — class-sorted tiles + in-kernel attribute selection.
+
+Evolution of pallas_nn.py driven by v5e traces of the full EM loop:
+
+1. The v1 kernel ran K min/argmin passes over every distance tile
+   (~(3+6K) VPU ops/candidate -> 5.6 ms per E-step at 8k x 8k, K=8).
+   Here the target is sorted by class ONCE per align (it is loop-
+   invariant), so each target tile spans only 1-2 classes; per-tile
+   class ranges [cmin_j, cmax_j] arrive via scalar prefetch and gate
+   each class pass with @pl.when — real branches, absent classes cost
+   nothing. Expected passes/tile ~ 1 + (K-1)/n_tiles.
+
+2. The winner-attribute gather afterwards (9 planes x (K,N) indices)
+   ran on XLA's scalar-gather path (~4.2 ms/iteration). Here the
+   kernel selects the winner's 16-float attribute row (x,y,z,cov6,pad)
+   *inside the tile* with a one-hot MXU matmul
+       attrs (16,tb) . onehot^T (qb,tb) -> (16,qb)
+   and carries the best row per class in VMEM scratch — the EM loop
+   then contains no gathers at all.
+
+Outputs per class: exact min distance (expanded-form, see
+bruteforce.py's cancellation note) and the winner's attribute rows.
+Winner indices stay internal to the sorted order and are not exposed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = 3.0e37
+
+QB = 256
+TB = 1024
+NATTR = 16  # x, y, z, cov6(6), 7 spare — fixed row count for MXU-friendly layout
+
+
+def _kernel(cmin_ref, cmax_ref, qx, qy, qz, q2, tx, ty, tz, t2, tlab, attrs,
+            out_d2, out_attr, acc_d2, acc_attr, *, num_classes, qb, tb):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_d2[:] = jnp.full_like(acc_d2, INF)
+        acc_attr[:] = jnp.zeros_like(acc_attr)
+
+    vqx, vqy, vqz, vq2 = qx[0, :], qy[0, :], qz[0, :], q2[0, :]
+    vtx, vty, vtz, vt2 = tx[0, :], ty[0, :], tz[0, :], t2[0, :]
+    d2 = (vq2[:, None] + vt2[None, :]
+          - 2.0 * vqx[:, None] * vtx[None, :]
+          - 2.0 * vqy[:, None] * vty[None, :]
+          - 2.0 * vqz[:, None] * vtz[None, :])        # (qb, tb)
+    lab = tlab[0, :][None, :]                          # (1, tb)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, tb), 1)
+
+    cmin = cmin_ref[j]
+    cmax = cmax_ref[j]
+
+    for k in range(num_classes):                       # static unroll, predicated
+        @pl.when((cmin <= k) & (k <= cmax))
+        def _(k=k):
+            dk = jnp.where(lab == k, d2, INF)
+            m = jnp.min(dk, axis=1)                    # (qb,)
+            a = jnp.argmin(dk, axis=1)                 # (qb,)
+            onehot = (col == a[:, None]).astype(jnp.float32)
+            sel = jax.lax.dot_general(
+                attrs[:, :], onehot,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # (NATTR, qb)
+            better = m < acc_d2[k, :]
+            acc_d2[k, :] = jnp.where(better, m, acc_d2[k, :])
+            # acc_attr is (K, NATTR, qb): [k] is a contiguous major-dim
+            # slice — middle-dim indexing of (NATTR, K, qb) forced
+            # sublane-strided relayouts (measured 2x slower kernel)
+            acc_attr[k] = jnp.where(better[None, :], sel, acc_attr[k])
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_d2[:] = acc_d2[:]
+        out_attr[:] = acc_attr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "qb", "tb", "interpret"))
+def class_nn_attrs_pallas(tgt_xyz_s, tgt_label_s, attrs16, q_xyz,
+                          num_classes: int, qb: int = QB, tb: int = TB,
+                          interpret: bool = False):
+    """Per-class NN with fused attribute selection.
+
+    tgt_xyz_s:   (3, N) target coordinate planes, SORTED by class
+                 (invalid/padded points sorted last with label >= K)
+    tgt_label_s: (N,) sorted labels; invalid rows must hold >= num_classes
+    attrs16:     (16, N) attribute rows aligned to the sorted order
+    q_xyz:       (3, Q) query planes
+
+    Returns (d2 (K, Q) — INF where a class has no target, attrs
+    (K, 16, Q) — the winner's attribute rows, zeros where none).
+    """
+    n = tgt_xyz_s.shape[1]
+    q = q_xyz.shape[1]
+    qb = min(qb, q)
+    tb = min(tb, n)
+    K = num_classes
+
+    tx, ty, tz = tgt_xyz_s[0], tgt_xyz_s[1], tgt_xyz_s[2]
+    t2 = tx * tx + ty * ty + tz * tz
+    qx, qy, qz = q_xyz[0], q_xyz[1], q_xyz[2]
+    q2 = qx * qx + qy * qy + qz * qz
+
+    # per-tile class ranges from the sorted labels (invalid rows >= K
+    # make cmin > cmax for all-invalid tiles -> every class pass skips)
+    tiles = tgt_label_s.reshape(-1, tb)
+    cmax = jnp.max(jnp.where(tiles < K, tiles, -1), axis=1).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(tiles < K, tiles, K), axis=1).astype(jnp.int32)
+
+    grid = (q // qb, n // tb)
+    qspec = pl.BlockSpec((1, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, tb), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((NATTR, tb), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[qspec] * 4 + [tspec] * 5 + [aspec],
+        out_specs=(
+            pl.BlockSpec((K, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NATTR, qb), lambda i, j, *_: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, qb), jnp.float32),
+            pltpu.VMEM((K, NATTR, qb), jnp.float32),
+        ],
+    )
+
+    out_d2, out_attr = pl.pallas_call(
+        functools.partial(_kernel, num_classes=K, qb=qb, tb=tb),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, q), jnp.float32),
+            jax.ShapeDtypeStruct((K, NATTR, q), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        cmin, cmax,
+        qx[None], qy[None], qz[None], q2[None],
+        tx[None], ty[None], tz[None], t2[None], tgt_label_s[None],
+        attrs16,
+    )
+    return out_d2, out_attr
+
+
+def sort_cloud_by_class(xyz, label, cov6, valid, num_classes: int):
+    """Sort target arrays by class (invalid last). Returns
+    (xyz_s (3,N), label_s (N,) with invalid = num_classes, attrs16 (16,N))."""
+    key = jnp.where(valid, jnp.maximum(label, 0), num_classes)
+    order = jnp.argsort(key)
+    xyz_s = jnp.take(xyz, order, axis=1)
+    cov6_s = jnp.take(cov6, order, axis=1)
+    label_s = jnp.take(key, order).astype(jnp.int32)
+    n = xyz.shape[1]
+    pad = jnp.zeros((NATTR - 9, n), jnp.float32)
+    attrs16 = jnp.concatenate([xyz_s, cov6_s, pad], axis=0)
+    return xyz_s, label_s, attrs16
+
+
+def class_nn_attrs_xla(tgt_xyz, tgt_label, tgt_valid, tgt_cov6, q_xyz, num_classes: int):
+    """XLA fallback with the same contract (CPU mesh / tests)."""
+    from semicp.corr.bruteforce import class_nn
+
+    idx, d2 = class_nn(tgt_xyz, jnp.maximum(tgt_label, 0),
+                       tgt_valid, q_xyz, num_classes)
+    n = tgt_xyz.shape[1]
+    flat = jnp.concatenate(
+        [tgt_xyz.reshape(-1), tgt_cov6.reshape(-1),
+         jnp.zeros(((NATTR - 9) * n,), jnp.float32)]
+    )
+    offs = jnp.arange(NATTR, dtype=jnp.int32)[None, :, None] * n
+    attrs = jnp.take(flat, idx[:, None] + offs)        # (K, 16, Q)
+    attrs = jnp.where((d2 < INF)[:, None], attrs, 0.0)
+    return d2, attrs

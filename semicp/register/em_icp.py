@@ -28,11 +28,15 @@ from flax import struct
 
 from semicp.cloud.cloud import Cloud
 from semicp.config import Config
-from semicp.corr.bruteforce import class_nn
+from semicp.corr.pallas_nn2 import (
+    class_nn_attrs_pallas,
+    class_nn_attrs_xla,
+    sort_cloud_by_class,
+)
 from semicp.geom import sym3
 from semicp.geom.se3 import se3_inverse, se3_log
 from semicp.register.gauss_newton import apply_T_planar, gn_solve
-from semicp.register.residuals import gaussian_loglik_planar
+from semicp.register.pallas_estep import estep_weights_auto
 
 
 @struct.dataclass
@@ -44,8 +48,13 @@ class AlignResult:
     n_corr: jnp.ndarray       # () float32 effective correspondence count
 
 
-def _estep(tgt: Cloud, src: Cloud, T, cfg: Config):
+def _estep(tgt_prep, src: Cloud, T, cfg: Config):
     """Per-class NN + soft weights for all source points at pose T.
+
+    tgt_prep is the loop-invariant prepared target from `_prepare_target`
+    (class-sorted planes + packed attribute rows on TPU; the raw cloud on
+    CPU). The NN kernel returns each winner's attribute row directly, so
+    the EM loop contains no gathers (see corr/pallas_nn2.py).
 
     Returns (tgt_planes 3x(K,N), w (K,N), sinv 6x(K,N)).
     """
@@ -54,25 +63,29 @@ def _estep(tgt: Cloud, src: Cloud, T, cfg: Config):
     moved_arr = jnp.stack(moved)                       # (3, N)
     R = T[:3, :3]
 
-    # Exact per-class NN via the MXU brute-force engine (classes are a
-    # masked reduction over distance tiles, not per-class structures).
-    idx, _approx_d2 = class_nn(
-        tgt.xyz, jnp.maximum(tgt.label, 0), tgt.valid, moved_arr,
-        num_classes=K,
-    )                                                   # (K, N) each
-    x_pl = tuple(jnp.take(tgt.xyz[i], idx) for i in range(3))
-    cx = tuple(jnp.take(tgt.cov6[i], idx) for i in range(6))
+    if tgt_prep["kind"] == "sorted":
+        nn_d2, attrs = class_nn_attrs_pallas(
+            tgt_prep["xyz_s"], tgt_prep["label_s"], tgt_prep["attrs16"],
+            moved_arr, num_classes=K,
+        )
+    else:
+        tgt = tgt_prep["cloud"]
+        nn_d2, attrs = class_nn_attrs_xla(
+            tgt.xyz, tgt.label, tgt.valid, tgt.cov6, moved_arr, num_classes=K,
+        )
+    x_pl = tuple(attrs[:, i, :] for i in range(3))     # (K, N) planes
+    cx = tuple(attrs[:, 3 + i, :] for i in range(6))
     rc = sym3.rotate(R, tuple(src.cov6))               # rotated src cov, (N,) planes
-    sigma = tuple(c + r[None, :] for c, r in zip(cx, rc))
-    d = tuple(xp - m[None, :] for xp, m in zip(x_pl, moved))
-    # exact gate distance from the gathered winner (the matmul expansion
-    # loses ~1e-3 m^2 to cancellation; residuals here are exact)
+    sigma = jnp.stack([c + r[None, :] for c, r in zip(cx, rc)])   # (6,K,N)
+    d_pl = tuple(xp - m[None, :] for xp, m in zip(x_pl, moved))
+    d = jnp.stack(d_pl)                                 # (3,K,N)
+    # exact gate distance from the winner's coordinates (the matmul
+    # expansion loses ~1e-3 m^2 to cancellation; residuals are exact)
     exact_d2 = d[0] ** 2 + d[1] ** 2 + d[2] ** 2
-    found = (exact_d2 <= cfg.corr.max_dist**2) & (_approx_d2 < 1.0e37)
-    loglik_geo = gaussian_loglik_planar(sigma, d)      # (K, N)
+    found = (exact_d2 <= cfg.corr.max_dist**2) & (nn_d2 < 1.0e37)
 
     if cfg.em.uniform_semantics:
-        log_sem = jnp.zeros_like(loglik_geo)
+        log_sem = jnp.zeros((K,) + src.label.shape, jnp.float32)
     else:
         classes = jnp.arange(K, dtype=jnp.int32)[:, None]
         match = src.label[None, :] == classes
@@ -80,22 +93,32 @@ def _estep(tgt: Cloud, src: Cloud, T, cfg: Config):
             match,
             jnp.log(cfg.em.alpha),
             jnp.log((1.0 - cfg.em.alpha) / max(K - 1, 1)),
-        )
+        ).astype(jnp.float32)
 
-    gate = found & src.valid[None, :]
-    loglik = jnp.where(gate, loglik_geo + log_sem, -jnp.inf)
-    mx = jnp.max(loglik, axis=0, keepdims=True)
-    safe_mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-    unnorm = jnp.where(gate, jnp.exp(loglik - safe_mx), 0.0)
-    tot = jnp.sum(unnorm, axis=0, keepdims=True)
-    w = jnp.where(tot > 0, unnorm / jnp.maximum(tot, 1e-30), 0.0)
-
-    sinv = sym3.inv(sigma)
+    gate = (found & src.valid[None, :]).astype(jnp.float32)
+    w, sinv_arr = estep_weights_auto(sigma, d, log_sem, gate)
+    sinv = tuple(sinv_arr[i] for i in range(6))
     return x_pl, w, sinv
+
+
+def _prepare_target(tgt: Cloud, cfg: Config) -> dict:
+    """Loop-invariant target preparation (once per align).
+
+    TPU: class-sort the planes and pack attribute rows for the fused NN
+    kernel. CPU (tests / virtual mesh): pass the raw cloud through to
+    the XLA fallback.
+    """
+    if jax.default_backend() == "cpu":
+        return {"kind": "cloud", "cloud": tgt}
+    xyz_s, label_s, attrs16 = sort_cloud_by_class(
+        tgt.xyz, tgt.label, tgt.cov6, tgt.valid, cfg.cloud.num_classes
+    )
+    return {"kind": "sorted", "xyz_s": xyz_s, "label_s": label_s, "attrs16": attrs16}
 
 
 def _align_impl(src: Cloud, tgt: Cloud, T0, cfg: Config):
     src_planes = tuple(src.xyz)
+    tgt_prep = _prepare_target(tgt, cfg)
 
     def cond(carry):
         T, it, step, cost, n_corr = carry
@@ -103,7 +126,7 @@ def _align_impl(src: Cloud, tgt: Cloud, T0, cfg: Config):
 
     def body(carry):
         T, it, _step, _cost, _n = carry
-        x_pl, w, sinv = _estep(tgt, src, T, cfg)
+        x_pl, w, sinv = _estep(tgt_prep, src, T, cfg)
         T_new, cost, _ = gn_solve(T, src_planes, x_pl, w, sinv, cfg.gn)
         step = jnp.linalg.norm(se3_log(T_new @ se3_inverse(T)))
         return (T_new, it + 1, step, cost, jnp.sum(w))
