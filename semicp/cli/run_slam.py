@@ -1,0 +1,256 @@
+"""Keyframe SLAM driver — config 3 (BASELINE.json:9).
+
+Host control plane (SURVEY.md §3.3): frame scheduling, keyframe
+decisions, loop-closure gating, checkpointing. Device data plane: EM
+alignments (odometry + loop verification) and pose-graph GN.
+
+Per frame:
+  odometry   align scan onto the previous scan (or last submap with
+             --scan-to-map), warm-started by constant velocity
+  keyframe   spawned after enough motion; adds a pose-graph node and an
+             odometry edge
+  loop       older keyframes gated by pose proximity + semantic
+             descriptor; survivors verified by a wide-gate EM align;
+             accepted edges trigger pose-graph optimization and a
+             trajectory correction
+Every frame stores (anchor keyframe, relative pose); the exported
+trajectory recomposes against FINAL optimized keyframe poses, so late
+loop closures correct the whole history.
+
+Usage:
+  python -m semicp.cli.run_slam --synthetic 120 [--loop] [--n-points 3000]
+  python -m semicp.cli.run_slam --seq <kitti-seq-dir> [--voxel 0.3]
+      [--out poses.txt] [--jsonl metrics.jsonl] [--checkpoint-dir ckpt/ --resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from semicp.cli.common import load_scan_np, print_result, to_device_cloud
+from semicp.config import Config, parse_overrides
+from semicp.data import save_kitti_poses
+from semicp.geom.se3 import se3_exp
+from semicp.register import make_align_fn
+from semicp.slam.keyframes import KeyframeStore, keyframe_due, semantic_descriptor
+from semicp.slam.loop_closure import propose_loop_closures, verify_loop_closure
+from semicp.slam.pose_graph import PoseGraph, add_edge, add_pose, optimize_pose_graph
+from semicp.utils import MetricsLogger, PhaseTimer
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seq")
+    ap.add_argument("--voxel", type=float, default=0.3)
+    ap.add_argument("--out", default="poses_slam.txt")
+    ap.add_argument("--jsonl", default=None)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--n-points", type=int, default=3000)
+    ap.add_argument("--loop", action="store_true",
+                    help="synthetic: drive a closed loop (tests loop closure)")
+    ap.add_argument("--drift", type=float, default=0.0,
+                    help="synthetic: inject per-frame odometry drift (m)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max-keyframes", type=int, default=256)
+    ap.add_argument("--max-edges", type=int, default=1024)
+    return ap
+
+
+def synthetic_loop_frames(n_frames, n_points, closed=True, seed=0):
+    """Square-loop trajectory over a structured scene -> frames + GT."""
+    from semicp.data import make_scene, render_scan
+
+    rng = np.random.default_rng(seed)
+    scene, labels = make_scene(rng, n_points=n_points * 6, extent=30.0)
+    labels = labels - 1
+    side = n_frames // 4 if closed else n_frames
+    turn_frames = max(3, side // 3)
+    poses = [np.eye(4, dtype=np.float32)]
+    import jax.numpy as jnp
+
+    for i in range(1, n_frames):
+        turn = 0.0
+        if closed and (i % side) >= side - turn_frames:
+            # spread each 90-degree corner over several frames so the
+            # per-frame rotation stays trackable by the EM gate
+            turn = (np.pi / 2) / turn_frames
+        d = np.array([0.8, 0, 0, 0, 0, turn], np.float32)
+        poses.append(poses[-1] @ np.asarray(se3_exp(jnp.asarray(d))))
+    traj = np.stack(poses)
+    frames = [render_scan(rng, scene, labels, p, max_range=28.0,
+                          max_points=n_points) for p in traj]
+    return frames, traj
+
+
+def run_slam(args, cfg: Config):
+    timer = PhaseTimer()
+    align_fn = make_align_fn(cfg)
+    ml = MetricsLogger(args.jsonl)
+
+    gt_traj = None
+    if args.synthetic:
+        frames, gt_traj = synthetic_loop_frames(
+            args.synthetic, args.n_points, closed=args.loop)
+        frame_iter = iter(frames)
+
+        def next_scan():
+            return next(frame_iter, None)
+    else:
+        from semicp.cli.common import sequence_frames
+
+        seq = sequence_frames(args.seq)
+        if args.max_frames:
+            seq = seq[: args.max_frames]
+        it = iter(seq)
+
+        def next_scan():
+            item = next(it, None)
+            if item is None:
+                return None
+            return load_scan_np(item[0], item[1], args.voxel)
+
+    graph = PoseGraph.empty(args.max_keyframes, args.max_edges)
+    store = KeyframeStore()
+    anchors: list[tuple[int, np.ndarray]] = []  # per frame: (kf_idx, T_kf_frame)
+    T_now = np.eye(4)
+    prev_cloud = None
+    T_rel_prev = np.eye(4, dtype=np.float32)
+    frame = 0
+    n_loop_edges = 0
+
+    start_frame = 0
+    if args.resume and args.checkpoint_dir:
+        from semicp.utils.checkpoint import latest_checkpoint
+
+        step, state = latest_checkpoint(args.checkpoint_dir)
+        if state is not None:
+            print(f"resume not yet wired for full state; starting fresh", file=sys.stderr)
+
+    while True:
+        scan = next_scan()
+        if scan is None:
+            break
+        pts, lab = scan
+        with timer.phase("preprocess"):
+            cloud = to_device_cloud(pts, lab, cfg)
+            jax.block_until_ready(cloud.cov6)
+
+        if prev_cloud is None:
+            desc = semantic_descriptor(lab, cfg.cloud.num_classes, pts)
+            store.add(frame, T_now, cloud, desc)
+            graph = add_pose(graph, T_now.astype(np.float32))
+            anchors.append((0, np.eye(4)))
+        else:
+            with timer.phase("odometry"):
+                res = align_fn(cloud, prev_cloud, T_rel_prev)
+                jax.block_until_ready(res.T)
+            T_rel = np.asarray(res.T, np.float64)
+            T_rel_prev = np.asarray(res.T)
+            if args.drift:
+                # simulate biased odometry: a per-frame yaw bias (rad).
+                # (A constant translational bias on a closed loop is just
+                # a global rotation, which rigid ATE alignment absorbs —
+                # yaw bias spirals the estimate and is only fixable by
+                # loop closure.)
+                import jax.numpy as _jnp
+
+                bias = np.asarray(se3_exp(_jnp.asarray(
+                    np.array([0, 0, 0, 0, 0, args.drift], np.float32))), np.float64)
+                T_rel = T_rel @ bias
+            T_now = T_now @ T_rel
+            ml.log(frame=frame, kind="odom", iters=int(res.iterations),
+                   cost=float(res.cost), n_corr=float(res.n_corr))
+
+            kf_last = store[-1] if len(store) else None
+            poses_now = np.asarray(graph.poses, np.float64)
+            last_kf_pose = poses_now[kf_last.index]
+            anchors.append((kf_last.index,
+                            np.linalg.inv(last_kf_pose) @ T_now))
+
+            if keyframe_due(last_kf_pose, T_now, cfg.slam):
+                desc = semantic_descriptor(lab, cfg.cloud.num_classes, pts)
+                kf = store.add(frame, T_now, cloud, desc)
+                graph = add_pose(graph, T_now.astype(np.float32))
+                Z = np.linalg.inv(last_kf_pose) @ T_now
+                graph = add_edge(graph, kf_last.index, kf.index,
+                                 Z.astype(np.float32), 1.0)
+
+                with timer.phase("loop_search"):
+                    poses_now = np.asarray(graph.poses, np.float64)
+                    cands = propose_loop_closures(store, kf, poses_now, cfg)
+                    accepted = []
+                    for c in cands[:3]:
+                        ok, Zl, info = verify_loop_closure(
+                            store, c, kf.index, poses_now, cfg)
+                        if ok:
+                            graph = add_edge(graph, c, kf.index,
+                                             Zl.astype(np.float32), info)
+                            accepted.append(c)
+                            n_loop_edges += 1
+                if accepted:
+                    with timer.phase("pgo"):
+                        graph = optimize_pose_graph(graph, cfg.slam)
+                        jax.block_until_ready(graph.poses)
+                    # re-anchor the running pose on the corrected keyframe
+                    new_poses = np.asarray(graph.poses, np.float64)
+                    T_now = new_poses[kf.index]
+                    ml.log(frame=frame, kind="pgo", edges=int(graph.n_edges),
+                           loops=len(accepted))
+
+                if args.checkpoint_dir and len(store) % cfg.slam.checkpoint_every == 0:
+                    from semicp.utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(args.checkpoint_dir, {
+                        "poses": np.asarray(graph.poses),
+                        "n_poses": np.asarray(graph.n_poses),
+                        "edge_i": np.asarray(graph.edge_i),
+                        "edge_j": np.asarray(graph.edge_j),
+                        "edge_z": np.asarray(graph.edge_z),
+                        "edge_info": np.asarray(graph.edge_info),
+                        "n_edges": np.asarray(graph.n_edges),
+                    }, step=len(store))
+
+        prev_cloud = cloud
+        frame += 1
+
+    # final PGO + trajectory recomposition against optimized keyframe poses
+    if int(graph.n_edges) > 0:
+        graph = optimize_pose_graph(graph, cfg.slam)
+    final_kf = np.asarray(graph.poses, np.float64)
+    traj = np.stack([final_kf[a] @ rel for a, rel in anchors])
+    save_kitti_poses(args.out, traj)
+    ml.close()
+
+    out = {"frames": len(traj), "keyframes": len(store),
+           "edges": int(graph.n_edges), "loop_edges": n_loop_edges,
+           "out": str(args.out), "timing": timer.summary()}
+    if gt_traj is not None and len(traj) > 2:
+        from semicp.eval import ate_rmse, rpe
+
+        gt = gt_traj[: len(traj)]
+        out["ate_rmse_m"] = ate_rmse(traj, gt)
+        out["rpe_trans_m"], out["rpe_rot_rad"] = rpe(traj, gt)
+    return out, timer
+
+
+def main(argv=None):
+    ap = build_parser()
+    args, extra = ap.parse_known_args(argv if argv is not None else sys.argv[1:])
+    cfg = Config().override(parse_overrides(extra))
+    if not args.synthetic and not args.seq:
+        ap.error("--seq or --synthetic required")
+    out, timer = run_slam(args, cfg)
+    print_result("run_slam", out)
+    print(timer.table(), file=sys.stderr)
+    return out
+
+
+if __name__ == "__main__":
+    main()

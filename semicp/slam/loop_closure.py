@@ -1,0 +1,68 @@
+"""Loop-closure proposal and verification.
+
+Reference counterpart: NONE (SURVEY.md §3.2 — no loop closure in the
+reference); this is the SLAM extension's detector (BASELINE.json:9,
+SURVEY.md §3.3: 'loop-closure candidate gating (coarse, e.g. pose
+proximity + semantic descriptor)' on the host, verification on device).
+
+Pipeline per new keyframe:
+  1. propose: older keyframes within cfg.lc_max_dist of the current
+     (PGO-corrected) pose, at least cfg.lc_min_gap keyframes back,
+     whose semantic descriptors differ by < cfg.lc_desc_thresh (L1).
+  2. verify: full semantic EM alignment between the two keyframe clouds,
+     initialized from the current relative pose estimate; accept on
+     convergence with enough effective correspondences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from semicp.config import Config
+from semicp.register import make_align_fn
+from semicp.slam.keyframes import Keyframe, KeyframeStore
+
+
+def propose_loop_closures(store: KeyframeStore, kf: Keyframe, poses: np.ndarray,
+                          cfg: Config) -> list[int]:
+    """Indices of older keyframes worth verifying against `kf`.
+
+    `poses` are the CURRENT (post-PGO) keyframe poses, (M,4,4)."""
+    out = []
+    c = cfg.slam
+    p_now = poses[kf.index][:3, 3]
+    for other in store.keyframes:
+        if kf.index - other.index < c.lc_min_gap:
+            continue
+        d = np.linalg.norm(poses[other.index][:3, 3] - p_now)
+        if d > c.lc_max_dist:
+            continue
+        desc_d = float(np.abs(other.descriptor - kf.descriptor).sum())
+        if desc_d > c.lc_desc_thresh:
+            continue
+        out.append(other.index)
+    return out
+
+
+def verify_loop_closure(store: KeyframeStore, i: int, j: int, poses: np.ndarray,
+                        cfg: Config, align_fn=None):
+    """EM-align keyframe j's cloud onto keyframe i's cloud.
+
+    Returns (accepted, Z_ij (4,4) with x_i = Z_ij x_j, info weight) —
+    the pose-graph edge measurement convention (pose_graph.py).
+    """
+    # wide gate for the verification alignment: drift may be metres
+    wide = cfg.override({"corr.max_dist": cfg.slam.lc_max_dist / 2.0,
+                         "em.max_iters": 40})
+    align = align_fn or make_align_fn(wide)
+    T_init = np.linalg.inv(poses[i].astype(np.float64)) @ poses[j].astype(np.float64)
+    res = align(store[j].cloud, store[i].cloud,
+                np.asarray(T_init, np.float32))
+    n_corr = float(res.n_corr)
+    ok = bool(res.converged) and n_corr > 0.25 * float(store[j].cloud.count)
+    Z = np.asarray(res.T, np.float64)
+    # information ~ correspondence support (crude but monotone)
+    info = float(min(n_corr / max(float(store[j].cloud.count), 1.0), 1.0))
+    return ok, Z, info

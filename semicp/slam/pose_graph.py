@@ -1,0 +1,150 @@
+"""Pose-graph optimization over SE(3) — batched GN with robust kernels.
+
+Reference counterpart: NONE — the reference chains frame-to-frame
+transforms with no keyframing or graph optimization (SURVEY.md §3.2);
+PGO is a north-star extension mandated by BASELINE.json:5,9.
+
+TPU-native shape: the graph lives in fixed-capacity padded arrays
+(M_pad poses, E_pad edges, masks for the tails) so the whole GN loop is
+one jitted program. Per iteration every edge residual/Jacobian is
+evaluated in one batch, the dense 6M x 6M normal matrix is assembled
+with one-hot einsums (scatter-free — TPU scatters are scalar-slow), and
+the solve is a single dense factorization. For map sizes where a dense
+solve stops being the right call, semicp/slam/schur.py shards the same
+assembly over a mesh (SURVEY.md §2.3 "Distributed solver").
+
+Math (left-multiplicative updates T <- exp(delta) T, tangent [v, w]):
+  edge (i, j) measures Z_ij ~ T_i^{-1} T_j
+  residual r_e = log(Z_e^{-1} T_i^{-1} T_j)
+  Jacobians (first-order, J_r ~ I for small r):
+     dr/ddelta_i = -Ad(T_j^{-1}),  dr/ddelta_j = +Ad(T_j^{-1})
+  Huber weight on the whitened norm caps loop-closure outliers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from semicp.config import SLAMConfig
+from semicp.geom.se3 import se3_adjoint, se3_exp, se3_inverse, se3_log
+
+
+@struct.dataclass
+class PoseGraph:
+    """Fixed-capacity pose graph (a JAX pytree).
+
+    poses:  (M_pad, 4, 4) world-from-keyframe transforms
+    n_poses: () int32
+    edge_i, edge_j: (E_pad,) int32 endpoints (0 where unused)
+    edge_z:  (E_pad, 4, 4) measured relative transforms T_i^-1 T_j
+    edge_info: (E_pad,) float32 scalar information weight (0 = unused)
+    n_edges: () int32
+    """
+
+    poses: jnp.ndarray
+    n_poses: jnp.ndarray
+    edge_i: jnp.ndarray
+    edge_j: jnp.ndarray
+    edge_z: jnp.ndarray
+    edge_info: jnp.ndarray
+    n_edges: jnp.ndarray
+
+    @classmethod
+    def empty(cls, m_pad: int, e_pad: int) -> "PoseGraph":
+        return cls(
+            poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (m_pad, 4, 4)),
+            n_poses=jnp.int32(0),
+            edge_i=jnp.zeros(e_pad, jnp.int32),
+            edge_j=jnp.zeros(e_pad, jnp.int32),
+            edge_z=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (e_pad, 4, 4)),
+            edge_info=jnp.zeros(e_pad, jnp.float32),
+            n_edges=jnp.int32(0),
+        )
+
+
+def _edge_residuals(poses, edge_i, edge_j, edge_z):
+    Ti = poses[edge_i]                                  # (E,4,4)
+    Tj = poses[edge_j]
+    r = se3_log(se3_inverse(edge_z) @ se3_inverse(Ti) @ Tj)   # (E,6)
+    Jj = se3_adjoint(se3_inverse(Tj))                   # (E,6,6)
+    return r, Jj
+
+
+def _huber_weight(rnorm, delta):
+    return jnp.where(rnorm <= delta, 1.0, delta / jnp.maximum(rnorm, 1e-12))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize_pose_graph(graph: PoseGraph, cfg: SLAMConfig) -> PoseGraph:
+    """Run cfg.pgo_iters GN iterations; returns the graph with updated poses.
+
+    Pose 0 is gauge-fixed with a strong prior; padded poses get a unit
+    prior so H stays SPD. Robust (Huber) weights with scale cfg.pgo_huber.
+    """
+    m = graph.poses.shape[0]
+    e = graph.edge_i.shape[0]
+    onehot_i = jax.nn.one_hot(graph.edge_i, m, dtype=jnp.float32)   # (E, M)
+    onehot_j = jax.nn.one_hot(graph.edge_j, m, dtype=jnp.float32)
+
+    def body(_, poses):
+        r, Jj = _edge_residuals(poses, graph.edge_i, graph.edge_j, graph.edge_z)
+        rnorm = jnp.linalg.norm(r, axis=-1)
+        w = graph.edge_info * _huber_weight(rnorm, cfg.pgo_huber)   # (E,)
+
+        # block contributions: Ji = -Jj, so
+        #   H_ii = Jj^T w Jj, H_jj = Jj^T w Jj, H_ij = -Jj^T w Jj
+        #   g_i = -Jj^T w r,  g_j = +Jj^T w r
+        JtWJ = jnp.einsum("eab,e,eac->ebc", Jj, w, Jj)              # (E,6,6)
+        JtWr = jnp.einsum("eab,e,ea->eb", Jj, w, r)                 # (E,6)
+
+        # scatter-free assembly via one-hot einsums
+        H_ii = jnp.einsum("em,ebc,en->mbnc", onehot_i, JtWJ, onehot_i)
+        H_jj = jnp.einsum("em,ebc,en->mbnc", onehot_j, JtWJ, onehot_j)
+        H_ij = jnp.einsum("em,ebc,en->mbnc", onehot_i, JtWJ, onehot_j)
+        H = (H_ii + H_jj - H_ij - jnp.swapaxes(jnp.swapaxes(H_ij, 0, 2), 1, 3))
+        H = H.reshape(6 * m, 6 * m)
+        g = (jnp.einsum("em,eb->mb", onehot_j, JtWr)
+             - jnp.einsum("em,eb->mb", onehot_i, JtWr)).reshape(6 * m)
+
+        # gauge prior on pose 0 + unit prior on padded/disconnected poses
+        active = jnp.arange(m) < graph.n_poses
+        prior = jnp.where(jnp.arange(m) == 0, 1e6, jnp.where(active, 1e-5, 1.0))
+        H = H + jnp.diag(jnp.repeat(prior, 6))
+
+        delta = jnp.linalg.solve(H, -g).reshape(m, 6)
+        # freeze padded poses (their delta is ~0 anyway under the prior)
+        delta = jnp.where(active[:, None], delta, 0.0)
+        return se3_exp(delta) @ poses
+
+    poses = jax.lax.fori_loop(0, cfg.pgo_iters, body, graph.poses)
+    return graph.replace(poses=poses)
+
+
+def graph_cost(graph: PoseGraph) -> jnp.ndarray:
+    """Total weighted squared residual (diagnostic)."""
+    r, _ = _edge_residuals(graph.poses, graph.edge_i, graph.edge_j, graph.edge_z)
+    return jnp.sum(graph.edge_info * jnp.sum(r * r, -1))
+
+
+def add_edge(graph: PoseGraph, i: int, j: int, z, info: float) -> PoseGraph:
+    """Host-side edge insertion (not jitted — the control plane owns this)."""
+    e = int(graph.n_edges)
+    return graph.replace(
+        edge_i=graph.edge_i.at[e].set(i),
+        edge_j=graph.edge_j.at[e].set(j),
+        edge_z=graph.edge_z.at[e].set(z),
+        edge_info=graph.edge_info.at[e].set(info),
+        n_edges=graph.n_edges + 1,
+    )
+
+
+def add_pose(graph: PoseGraph, T) -> PoseGraph:
+    m = int(graph.n_poses)
+    return graph.replace(
+        poses=graph.poses.at[m].set(T),
+        n_poses=graph.n_poses + 1,
+    )

@@ -1,0 +1,112 @@
+"""SLAM layer tests: pose-graph GN, loop closure machinery (SURVEY.md §4.5)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from semicp.config import Config, SLAMConfig
+from semicp.geom.se3 import se3_exp
+from semicp.slam.pose_graph import (
+    PoseGraph, add_edge, add_pose, graph_cost, optimize_pose_graph,
+)
+from semicp.slam.keyframes import semantic_descriptor, keyframe_due
+
+
+def T_of(v):
+    return np.asarray(se3_exp(jnp.asarray(np.asarray(v, np.float32))))
+
+
+def test_pgo_closes_square_loop(rng):
+    """4-corner square with drifted odometry + one loop edge: PGO must pull
+    the final pose back toward the start."""
+    edge_T = T_of([2, 0, 0, 0, 0, np.pi / 2])     # true per-side motion
+    drift = T_of([0.1, 0.05, 0, 0, 0, 0.02])      # odometry error per side
+
+    graph = PoseGraph.empty(8, 16)
+    T = np.eye(4, dtype=np.float32)
+    graph = add_pose(graph, T)
+    for i in range(4):
+        T = (T @ edge_T @ drift).astype(np.float32)
+        graph = add_pose(graph, T)
+        graph = add_edge(graph, i, i + 1, (edge_T @ drift).astype(np.float32), 1.0)
+    # loop closure: pose 4 should equal pose 0 (true measurement = identity)
+    graph = add_edge(graph, 0, 4, np.eye(4, dtype=np.float32), 1.0)
+
+    err_before = np.linalg.norm(np.asarray(graph.poses)[4][:3, 3])
+    c_before = float(graph_cost(graph))
+    opt = optimize_pose_graph(graph, SLAMConfig(pgo_iters=30))
+    err_after = np.linalg.norm(np.asarray(opt.poses)[4][:3, 3])
+    c_after = float(graph_cost(opt))
+    assert c_after < c_before * 0.2, (c_before, c_after)
+    assert err_after < err_before * 0.5, (err_before, err_after)
+    # gauge: pose 0 pinned at identity
+    np.testing.assert_allclose(np.asarray(opt.poses)[0], np.eye(4), atol=1e-3)
+
+
+def test_pgo_noop_on_consistent_graph(rng):
+    """Perfectly consistent odometry chain: PGO must not disturb it."""
+    edge_T = T_of([1, 0.2, 0, 0, 0, 0.1])
+    graph = PoseGraph.empty(8, 16)
+    T = np.eye(4, dtype=np.float32)
+    graph = add_pose(graph, T)
+    for i in range(5):
+        T = (T @ edge_T).astype(np.float32)
+        graph = add_pose(graph, T)
+        graph = add_edge(graph, i, i + 1, edge_T, 1.0)
+    before = np.asarray(graph.poses).copy()
+    opt = optimize_pose_graph(graph, SLAMConfig(pgo_iters=10))
+    np.testing.assert_allclose(np.asarray(opt.poses)[:6], before[:6], atol=2e-3)
+
+
+def test_semantic_descriptor_discriminates(rng):
+    a = rng.integers(0, 3, size=1000).astype(np.int32)          # classes 0-2
+    b = (rng.integers(0, 3, size=1000) + 3).astype(np.int32)    # classes 3-5
+    da = semantic_descriptor(a, 8)
+    db = semantic_descriptor(b, 8)
+    da2 = semantic_descriptor(rng.integers(0, 3, size=1000).astype(np.int32), 8)
+    assert np.abs(da - db).sum() > 1.0          # different content far apart
+    assert np.abs(da - da2).sum() < 0.2         # same content close
+
+
+def test_keyframe_due():
+    cfg = Config().slam
+    T0 = np.eye(4)
+    assert not keyframe_due(T0, T_of([0.5, 0, 0, 0, 0, 0]), cfg)
+    assert keyframe_due(T0, T_of([cfg.keyframe_trans * 1.5, 0, 0, 0, 0, 0]), cfg)
+    assert keyframe_due(T0, T_of([0, 0, 0, 0, 0, cfg.keyframe_rot * 1.5]), cfg)
+
+
+def test_loop_closure_corrects_drift(tmp_path):
+    """Yaw-biased odometry on a closed loop: loop closure + PGO must beat
+    pure odometry (the SLAM system's raison d'etre)."""
+    from semicp.cli.run_slam import main as slam_main
+
+    common = [
+        "--synthetic", "48", "--loop", "--n-points", "1000", "--drift", "0.01",
+        "--cloud.n_pad=1024", "--cloud.num_classes=8", "--em.max_iters=12",
+        "--slam.keyframe_trans=1.5", "--slam.lc_min_gap=14",
+        "--slam.lc_max_dist=5.0",
+    ]
+    with_lc = slam_main(common + ["--out", str(tmp_path / "pgo.txt")])
+    no_lc = slam_main(common + ["--out", str(tmp_path / "nopgo.txt"),
+                                "--slam.lc_desc_thresh=-1.0"])
+    assert with_lc["loop_edges"] >= 1
+    assert no_lc["loop_edges"] == 0
+    assert with_lc["ate_rmse_m"] < 0.7 * no_lc["ate_rmse_m"], (
+        with_lc["ate_rmse_m"], no_lc["ate_rmse_m"])
+
+
+def test_slam_driver_synthetic_loop(tmp_path):
+    """End-to-end config-3: closed square loop with injected drift; loop
+    closure + PGO must beat pure odometry."""
+    from semicp.cli.run_slam import main as slam_main
+
+    out = slam_main([
+        "--synthetic", "60", "--loop", "--n-points", "1200",
+        "--out", str(tmp_path / "poses.txt"),
+        "--cloud.n_pad=2048", "--cloud.num_classes=8",
+        "--em.max_iters=15", "--slam.keyframe_trans=1.5",
+        "--slam.lc_min_gap=8", "--slam.lc_max_dist=8.0",
+    ])
+    assert out["frames"] == 60
+    assert out["keyframes"] >= 4
+    assert out["ate_rmse_m"] < 0.5, out["ate_rmse_m"]
