@@ -18,7 +18,28 @@ from semicp.data.kitti import voxel_downsample
 
 
 def load_scan_np(bin_path, label_path=None, voxel: float = 0.0):
-    """Load one KITTI scan (+ optional SemanticKITTI labels) as numpy."""
+    """Load one KITTI scan (+ optional SemanticKITTI labels) as numpy.
+
+    Uses the native C++ loader (semicp.data.native) when available —
+    parse + remap + voxel downsample without intermediate copies — and
+    falls back to the numpy implementations otherwise.
+    """
+    from semicp.data import native
+    from semicp.data.kitti import _REMAP_LUT
+
+    if native.native_available():
+        xyz, _ = native.load_bin_planar(bin_path)
+        n = xyz.shape[1]
+        if label_path is not None:
+            lab = native.load_labels_remapped(label_path, _REMAP_LUT, n)
+            if len(lab) != n:
+                raise ValueError(f"scan/label length mismatch: {n} vs {len(lab)}")
+        else:
+            lab = np.zeros(n, np.int32)
+        if voxel > 0:
+            xyz, lab = native.voxel_downsample_planar(xyz, lab, voxel)
+        return xyz.T.copy(), lab
+
     pts = load_velodyne_bin(bin_path)[:, :3]
     if label_path is not None:
         raw, _ = load_semantickitti_labels(label_path)

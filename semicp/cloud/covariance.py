@@ -33,8 +33,37 @@ def estimate_covariances(
     """Return (6, N_pad) regularized covariance planes for valid points.
 
     Points with < 3 valid neighbors get the identity — the branchless
-    analogue of the reference's skip.
+    analogue of the reference's skip. Method selection: see CovConfig.
     """
+    if cfg.method == "radius":
+        return _estimate_radius(cloud, cfg, class_aware)
+    return _estimate_knn(cloud, cfg, class_aware)
+
+
+def _estimate_radius(cloud: Cloud, cfg: CovConfig, class_aware: bool) -> jnp.ndarray:
+    from semicp.cloud.pallas_cov import neighborhood_moments_auto
+
+    label = jnp.maximum(cloud.label, 0) if class_aware else jnp.zeros_like(cloud.label)
+    mom = neighborhood_moments_auto(cloud.xyz, label, cloud.valid, cfg.radius)
+    cnt = mom[0]
+    safe = jnp.maximum(cnt, 1.0)
+    mx, my, mz = mom[1] / safe, mom[2] / safe, mom[3] / safe
+    cov = (
+        mom[4] / safe - mx * mx,
+        mom[5] / safe - my * my,
+        mom[6] / safe - mz * mz,
+        mom[7] / safe - mx * my,
+        mom[8] / safe - mx * mz,
+        mom[9] / safe - my * mz,
+    )
+    reg = sym3.regularize_gicp(cov, cfg.eps)
+    enough = (cnt >= 3.0) & cloud.valid
+    eye = sym3.identity_like(cov[0])
+    out = tuple(jnp.where(enough, r, e) for r, e in zip(reg, eye))
+    return sym3.pack(out)
+
+
+def _estimate_knn(cloud: Cloud, cfg: CovConfig, class_aware: bool) -> jnp.ndarray:
     idx, _d2, nvalid = knn_self(
         cloud.xyz, jnp.maximum(cloud.label, 0), cloud.valid, k=cfg.k,
         class_aware=class_aware,

@@ -1,0 +1,138 @@
+"""Fused moment-covariance kernel — radius-neighborhood GICP covariances.
+
+Preprocessing redesign (SURVEY.md §3.4) driven by v5e measurements: the
+kNN path (full-row distances + top_k + neighbor gathers) costs ~20 ms at
+8k points and scales O(N^2) with expensive sort machinery. This kernel
+computes, in ONE streaming pass over distance tiles, the ten masked
+moments of each point's neighborhood
+
+    n, Sx, Sy, Sz, Sxx, Syy, Szz, Sxy, Sxz, Syz
+    (mask = same class & dist < radius & valid)
+
+from which the empirical covariance follows in a cheap XLA epilogue
+(C = S2/n - mean mean^T, then the rank-1 GICP clamp, sym3.regularize).
+
+Semantics note: the reference uses k=20 nearest neighbors; this uses a
+fixed radius. After the (1,1,eps) eigenvalue clamp only the eigenvector
+frame survives, and on locally planar/structured geometry both
+neighborhoods estimate the same frame — the numpy oracle supports both
+(OracleParams.cov_method) so parity is tested like-for-like.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QB = 256
+TB = 1024
+NMOM = 10
+
+
+def _kernel(qx, qy, qz, q2, qlab, tx, ty, tz, t2, tlab,
+            out_ref, acc, *, r2, qb, tb):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    vqx, vqy, vqz, vq2 = qx[0, :], qy[0, :], qz[0, :], q2[0, :]
+    vtx, vty, vtz, vt2 = tx[0, :], ty[0, :], tz[0, :], t2[0, :]
+    d2 = (vq2[:, None] + vt2[None, :]
+          - 2.0 * vqx[:, None] * vtx[None, :]
+          - 2.0 * vqy[:, None] * vty[None, :]
+          - 2.0 * vqz[:, None] * vtz[None, :])          # (qb, tb)
+    m = (d2 < r2) & (qlab[0, :][:, None] == tlab[0, :][None, :])
+    w = m.astype(jnp.float32)
+
+    x = vtx[None, :]
+    y = vty[None, :]
+    z = vtz[None, :]
+    acc[0, :] += jnp.sum(w, axis=1)
+    acc[1, :] += jnp.sum(w * x, axis=1)
+    acc[2, :] += jnp.sum(w * y, axis=1)
+    acc[3, :] += jnp.sum(w * z, axis=1)
+    acc[4, :] += jnp.sum(w * x * x, axis=1)
+    acc[5, :] += jnp.sum(w * y * y, axis=1)
+    acc[6, :] += jnp.sum(w * z * z, axis=1)
+    acc[7, :] += jnp.sum(w * x * y, axis=1)
+    acc[8, :] += jnp.sum(w * x * z, axis=1)
+    acc[9, :] += jnp.sum(w * y * z, axis=1)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "qb", "tb", "interpret"))
+def neighborhood_moments_pallas(xyz, label, valid, radius,
+                                qb: int = QB, tb: int = TB,
+                                interpret: bool = False):
+    """(10, N) masked neighborhood moments of every point (self-inclusive)."""
+    n = xyz.shape[1]
+    qb = min(qb, n)
+    tb = min(tb, n)
+    tx, ty, tz = xyz[0], xyz[1], xyz[2]
+    t2 = tx * tx + ty * ty + tz * tz
+    lab = jnp.where(valid, label, -1).astype(jnp.int32)
+    # invalid queries get label -2 so they never match anything (their
+    # covariance falls back to identity via the count check)
+    qlab = jnp.where(valid, label, -2).astype(jnp.int32)
+    r2 = float(radius) ** 2
+
+    grid = (n // qb, n // tb)
+    qspec = pl.BlockSpec((1, qb), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, tb), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((NMOM, qb), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, r2=r2, qb=qb, tb=tb),
+        grid=grid,
+        in_specs=[qspec] * 5 + [tspec] * 5,
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((NMOM, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((NMOM, qb), jnp.float32)],
+        interpret=interpret,
+    )(tx[None], ty[None], tz[None], t2[None], qlab[None],
+      tx[None], ty[None], tz[None], t2[None], lab[None])
+    return out
+
+
+def neighborhood_moments_xla(xyz, label, valid, radius, qb: int = 512):
+    """XLA fallback (CPU mesh / tests): same contract, tiled matmuls."""
+    n = xyz.shape[1]
+    qb = min(qb, n)
+    tx, ty, tz = xyz[0], xyz[1], xyz[2]
+    t2 = tx * tx + ty * ty + tz * tz
+    lab = jnp.where(valid, label, -1).astype(jnp.int32)
+    qlab_all = jnp.where(valid, label, -2).astype(jnp.int32)
+    r2 = float(radius) ** 2
+    feats = jnp.stack([jnp.ones_like(tx), tx, ty, tz,
+                       tx * tx, ty * ty, tz * tz,
+                       tx * ty, tx * tz, ty * tz])       # (10, N)
+
+    def block(args):
+        bqx, bqy, bqz, bq2, blab = args
+        d2 = (bq2[:, None] + t2[None, :]
+              - 2.0 * (bqx[:, None] * tx[None, :]
+                       + bqy[:, None] * ty[None, :]
+                       + bqz[:, None] * tz[None, :]))
+        w = ((d2 < r2) & (blab[:, None] == lab[None, :])).astype(jnp.float32)
+        return jnp.einsum("qn,mn->mq", w, feats)
+
+    blocks = (tx.reshape(-1, qb), ty.reshape(-1, qb), tz.reshape(-1, qb),
+              t2.reshape(-1, qb), qlab_all.reshape(-1, qb))
+    out = jax.lax.map(block, blocks)                     # (n/qb, 10, qb)
+    return jnp.moveaxis(out, 1, 0).reshape(NMOM, n)
+
+
+def neighborhood_moments_auto(xyz, label, valid, radius):
+    if jax.default_backend() == "cpu":
+        return neighborhood_moments_xla(xyz, label, valid, radius)
+    return neighborhood_moments_pallas(xyz, label, valid, radius)

@@ -27,12 +27,22 @@ class CloudConfig:
 
 @dataclass(frozen=True)
 class CovConfig:
-    """GICP plane-to-plane per-point covariance estimation (SURVEY.md §2.2 step 1)."""
+    """GICP plane-to-plane per-point covariance estimation (SURVEY.md §2.2 step 1).
 
-    k: int = 20                 # spatial kNN neighborhood size
+    method "radius": one-pass masked moment accumulation over a fixed
+    radius (the TPU-native fused kernel, cloud/pallas_cov.py).
+    method "knn": the reference's k-nearest-neighbor semantics
+    (corr/bruteforce.knn_self) — used for like-for-like oracle parity.
+    Both feed the same (1,1,eps) eigenvalue clamp, which keeps only the
+    eigenvector frame, so the two agree on structured geometry.
+    """
+
+    method: str = "radius"
+    radius: float = 0.8         # neighborhood radius (m) for method="radius"
+    k: int = 20                 # kNN size for method="knn"
     eps: float = 1e-3           # smallest-eigenvalue clamp ("plane thickness")
-    cell: float = 1.0           # voxel-hash cell size for the kNN gather (m)
-    max_candidates: int = 16    # candidates gathered per neighboring cell
+    cell: float = 1.0           # voxel-hash cell size (hashgrid engine only)
+    max_candidates: int = 16    # candidates per cell (hashgrid engine only)
 
 
 @dataclass(frozen=True)

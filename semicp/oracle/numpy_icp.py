@@ -26,6 +26,8 @@ class OracleParams:
     cov_k: int = 20
     cov_eps: float = 1e-3
     class_aware_cov: bool = True
+    cov_method: str = "knn"      # "knn" (reference) | "radius" (TPU fast path)
+    cov_radius: float = 0.8
     # §2.2 step 2 — E-step
     max_dist: float = 2.0
     alpha: float = 0.85          # P(observed label correct)
@@ -95,8 +97,11 @@ def estimate_covariances_np(
         else:
             pool = xyz
         d2 = np.sum((pool - xyz[i]) ** 2, -1)
-        k = min(p.cov_k, len(pool))
-        nn = pool[np.argsort(d2)[:k]]
+        if p.cov_method == "radius":
+            nn = pool[d2 < p.cov_radius**2]
+        else:
+            k = min(p.cov_k, len(pool))
+            nn = pool[np.argsort(d2)[:k]]
         if len(nn) < 3:
             continue
         c = nn - nn.mean(0)

@@ -14,6 +14,45 @@ def cov_matrices(cloud, n):
     return np.asarray(sym3.to_matrix(tuple(cloud.cov6)))[:n]
 
 
+def test_moment_kernel_matches_xla(rng):
+    """Pallas moment kernel (interpret) == XLA fallback == direct numpy."""
+    import jax.numpy as jnp
+
+    from semicp.cloud.pallas_cov import (
+        neighborhood_moments_pallas, neighborhood_moments_xla,
+    )
+
+    N = 1024
+    xyz = rng.normal(size=(3, N)).astype(np.float32) * 3
+    lab = rng.integers(0, 4, size=N).astype(np.int32)
+    val = rng.uniform(size=N) > 0.1
+    r = 1.0
+    m_x = np.asarray(neighborhood_moments_xla(
+        jnp.asarray(xyz), jnp.asarray(lab), jnp.asarray(val), r))
+    m_p = np.asarray(neighborhood_moments_pallas(
+        jnp.asarray(xyz), jnp.asarray(lab), jnp.asarray(val), r,
+        qb=256, tb=256, interpret=True))
+    np.testing.assert_allclose(m_p, m_x, rtol=1e-4, atol=1e-3)
+    # spot-check counts vs direct numpy for a few valid points
+    for i in list(np.nonzero(val)[0][:20]):
+        d2 = ((xyz.T - xyz.T[i]) ** 2).sum(-1)
+        mask = (d2 < r * r) & (lab == lab[i]) & val
+        assert abs(m_x[0, i] - mask.sum()) <= 1, (i, m_x[0, i], mask.sum())
+
+
+def test_radius_covariance_planar_normals(rng):
+    """Radius-moment covariances recover plane normals like kNN does."""
+    plane = np.concatenate(
+        [rng.uniform(-8, 8, size=(2000, 2)), rng.normal(size=(2000, 1)) * 0.01], -1
+    ).astype(np.float32)
+    c = make_cloud(plane, np.zeros(2000, np.int32), n_pad=2048)
+    c = preprocess_cloud(c, CovConfig(method="radius", radius=0.8))
+    covs = cov_matrices(c, 2000).astype(np.float64)
+    w, V = np.linalg.eigh(covs)
+    np.testing.assert_allclose(w[:, 0], 1e-3, rtol=1e-2)
+    assert np.mean(np.abs(V[:, 2, 0])) > 0.99
+
+
 def test_planar_normals(rng):
     plane = np.concatenate(
         [rng.uniform(-8, 8, size=(2000, 2)), rng.normal(size=(2000, 1)) * 0.01], -1
@@ -31,7 +70,7 @@ def test_matches_oracle_covariances(rng):
     xyz, lab = make_scene(rng, n_points=2000, extent=10.0)
     lab = lab - 1
     c = make_cloud(xyz, lab, n_pad=2048)
-    cfg = CovConfig(k=20, cell=1.5, max_candidates=64)
+    cfg = CovConfig(method="knn", k=20, cell=1.5, max_candidates=64)
     c = preprocess_cloud(c, cfg)
     got = cov_matrices(c, 2000).astype(np.float64)
     ref = estimate_covariances_np(

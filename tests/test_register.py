@@ -50,7 +50,10 @@ def test_align_parity_with_oracle(pair):
     src, slab, tgt, tlab, T_gt = pair
     cfg = make_test_cfg()
     res = align(prep(cfg, src, slab), prep(cfg, tgt, tlab), cfg)
-    T_o, info = semantic_icp_np(src, slab, tgt, tlab, OracleParams())
+    # like-for-like: oracle uses the same radius-covariance semantics
+    T_o, info = semantic_icp_np(
+        src, slab, tgt, tlab,
+        OracleParams(cov_method=cfg.cov.method, cov_radius=cfg.cov.radius))
     assert info["converged"]
     terr, rerr = pose_errors(res.T, T_o)
     assert terr < 5e-3 and rerr < 2e-3, (terr, rerr)
