@@ -37,6 +37,9 @@ def build_parser():
                     help="generate a synthetic pair with N points instead of loading files")
     ap.add_argument("--jsonl", default=None)
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the steady-state "
+                         "aligns into DIR (TensorBoard/perfetto format)")
     return ap
 
 
@@ -73,6 +76,13 @@ def main(argv=None):
     with timer.phase("compile+first_align"):
         res = align_fn(src, tgt)
         jax.block_until_ready(res.T)
+    if args.profile:
+        # SURVEY.md §5 tracing: capture the steady-state align under the
+        # profiler (block_until_ready discipline for honest spans)
+        with jax.profiler.trace(args.profile):
+            res = align_fn(src, tgt)
+            jax.block_until_ready(res.T)
+        print(f"profile written to {args.profile}", file=sys.stderr)
     for _ in range(args.repeat - 1):
         with timer.phase("align"):
             res = align_fn(src, tgt)
