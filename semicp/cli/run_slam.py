@@ -89,6 +89,75 @@ def synthetic_loop_frames(n_frames, n_points, closed=True, seed=0):
     return frames, traj
 
 
+def _capture_state(graph, store, anchors, T_now, T_rel_prev, prev_cloud, frame):
+    """Full SLAM state -> checkpointable pytree of numpy arrays."""
+    kf_clouds = {
+        "xyz": np.stack([np.asarray(k.cloud.xyz) for k in store.keyframes]),
+        "label": np.stack([np.asarray(k.cloud.label) for k in store.keyframes]),
+        "cov6": np.stack([np.asarray(k.cloud.cov6) for k in store.keyframes]),
+        "valid": np.stack([np.asarray(k.cloud.valid) for k in store.keyframes]),
+        "count": np.asarray([int(k.cloud.count) for k in store.keyframes], np.int32),
+    }
+    return {
+        "graph": {
+            "poses": np.asarray(graph.poses), "n_poses": np.asarray(graph.n_poses),
+            "edge_i": np.asarray(graph.edge_i), "edge_j": np.asarray(graph.edge_j),
+            "edge_z": np.asarray(graph.edge_z),
+            "edge_info": np.asarray(graph.edge_info),
+            "n_edges": np.asarray(graph.n_edges),
+        },
+        "kf_frames": np.asarray([k.frame for k in store.keyframes], np.int32),
+        "kf_poses": np.stack([k.pose for k in store.keyframes]),
+        "kf_desc": np.stack([k.descriptor for k in store.keyframes]),
+        "kf_clouds": kf_clouds,
+        "anchor_idx": np.asarray([a for a, _ in anchors], np.int32),
+        "anchor_rel": np.stack([r for _, r in anchors]),
+        "T_now": np.asarray(T_now), "T_rel_prev": np.asarray(T_rel_prev),
+        "prev_cloud": {
+            "xyz": np.asarray(prev_cloud.xyz), "label": np.asarray(prev_cloud.label),
+            "cov6": np.asarray(prev_cloud.cov6), "valid": np.asarray(prev_cloud.valid),
+            "count": np.asarray(prev_cloud.count),
+        },
+        "frame": np.asarray(frame, np.int32),
+    }
+
+
+def _cloud_from_state(d, i=None):
+    import jax.numpy as jnp
+
+    from semicp.cloud import Cloud
+
+    sel = (lambda x: x[i]) if i is not None else (lambda x: x)
+    return Cloud(
+        xyz=jnp.asarray(sel(d["xyz"])), label=jnp.asarray(sel(d["label"])),
+        cov6=jnp.asarray(sel(d["cov6"])), valid=jnp.asarray(sel(d["valid"])),
+        count=jnp.asarray(sel(d["count"])),
+    )
+
+
+def _restore_state(state, cfg):
+    import jax.numpy as jnp
+
+    g = state["graph"]
+    graph = PoseGraph(
+        poses=jnp.asarray(g["poses"]), n_poses=jnp.asarray(g["n_poses"]),
+        edge_i=jnp.asarray(g["edge_i"]), edge_j=jnp.asarray(g["edge_j"]),
+        edge_z=jnp.asarray(g["edge_z"]), edge_info=jnp.asarray(g["edge_info"]),
+        n_edges=jnp.asarray(g["n_edges"]),
+    )
+    store = KeyframeStore()
+    for i in range(len(state["kf_frames"])):
+        store.add(int(state["kf_frames"][i]), np.asarray(state["kf_poses"][i]),
+                  _cloud_from_state(state["kf_clouds"], i),
+                  np.asarray(state["kf_desc"][i]))
+    anchors = [(int(a), np.asarray(r))
+               for a, r in zip(state["anchor_idx"], state["anchor_rel"])]
+    prev_cloud = _cloud_from_state(state["prev_cloud"])
+    return (graph, store, anchors, np.asarray(state["T_now"], np.float64),
+            np.asarray(state["T_rel_prev"], np.float32), prev_cloud,
+            int(state["frame"]))
+
+
 def run_slam(args, cfg: Config):
     timer = PhaseTimer()
     align_fn = make_align_fn(cfg)
@@ -131,12 +200,22 @@ def run_slam(args, cfg: Config):
 
         step, state = latest_checkpoint(args.checkpoint_dir)
         if state is not None:
-            print(f"resume not yet wired for full state; starting fresh", file=sys.stderr)
+            graph, store, anchors, T_now, T_rel_prev, prev_cloud, start_frame = \
+                _restore_state(state, cfg)
+            frame = start_frame
+            print(f"resumed at frame {start_frame} "
+                  f"({len(store)} keyframes, {int(graph.n_edges)} edges)",
+                  file=sys.stderr)
 
+    consumed = 0
     while True:
         scan = next_scan()
         if scan is None:
             break
+        if consumed < start_frame:
+            consumed += 1
+            continue
+        consumed += 1
         pts, lab = scan
         with timer.phase("preprocess"):
             cloud = to_device_cloud(pts, lab, cfg)
@@ -207,15 +286,11 @@ def run_slam(args, cfg: Config):
                 if args.checkpoint_dir and len(store) % cfg.slam.checkpoint_every == 0:
                     from semicp.utils.checkpoint import save_checkpoint
 
-                    save_checkpoint(args.checkpoint_dir, {
-                        "poses": np.asarray(graph.poses),
-                        "n_poses": np.asarray(graph.n_poses),
-                        "edge_i": np.asarray(graph.edge_i),
-                        "edge_j": np.asarray(graph.edge_j),
-                        "edge_z": np.asarray(graph.edge_z),
-                        "edge_info": np.asarray(graph.edge_info),
-                        "n_edges": np.asarray(graph.n_edges),
-                    }, step=len(store))
+                    save_checkpoint(
+                        args.checkpoint_dir,
+                        _capture_state(graph, store, anchors, T_now,
+                                       T_rel_prev, cloud, frame + 1),
+                        step=len(store))
 
         prev_cloud = cloud
         frame += 1
