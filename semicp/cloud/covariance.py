@@ -19,6 +19,7 @@ EM iterations.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from semicp.cloud.cloud import Cloud
@@ -40,11 +41,46 @@ def estimate_covariances(
     return _estimate_knn(cloud, cfg, class_aware)
 
 
+def estimate_radius(xyz, label, valid, k: int = 20, class_aware: bool = True,
+                    n_samples: int = 256, scale: float = 1.3):
+    """Density-adaptive neighborhood radius (traced scalar, jit-safe).
+
+    The reference's kNN covariance adapts to point density by construction;
+    a fixed radius does not (sparse clouds -> empty neighborhoods ->
+    identity covariances -> degraded GICP). This estimates the k-th-NN
+    distance on a strided sample of points (same-class, like the
+    reference's per-label sub-cloud search) and returns its median times
+    `scale`, so radius neighborhoods hold ~k+ points at any density.
+    """
+    n = xyz.shape[1]
+    s = min(n_samples, n)
+    stride = max(n // s, 1)
+    idx = jnp.arange(s) * stride
+    q = xyz[:, idx]                                      # (3, S)
+    qlab, qval = label[idx], valid[idx]
+    d2 = (jnp.sum(q * q, 0)[:, None] + jnp.sum(xyz * xyz, 0)[None, :]
+          - 2.0 * (q.T @ xyz))                           # (S, N)
+    mask = valid[None, :]
+    if class_aware:
+        mask = mask & (qlab[:, None] == label[None, :])
+    d2 = jnp.where(mask, jnp.maximum(d2, 0.0), jnp.inf)
+    kk = min(k + 1, n)                                   # +1: self-match
+    kth = -jax.lax.top_k(-d2, kk)[0][:, -1]              # (S,)
+    kth = jnp.where(qval & jnp.isfinite(kth), kth, jnp.nan)
+    r = jnp.sqrt(jnp.nanmedian(kth))
+    return scale * jnp.where(jnp.isnan(r), 1.0, r)
+
+
 def _estimate_radius(cloud: Cloud, cfg: CovConfig, class_aware: bool) -> jnp.ndarray:
     from semicp.cloud.pallas_cov import neighborhood_moments_auto
 
     label = jnp.maximum(cloud.label, 0) if class_aware else jnp.zeros_like(cloud.label)
-    mom = neighborhood_moments_auto(cloud.xyz, label, cloud.valid, cfg.radius)
+    if cfg.radius > 0:
+        radius = cfg.radius
+    else:  # radius=0 -> auto: match the reference's k-NN density adaptivity
+        radius = estimate_radius(cloud.xyz, label, cloud.valid,
+                                 k=cfg.k, class_aware=class_aware)
+    mom = neighborhood_moments_auto(cloud.xyz, label, cloud.valid, radius)
     cnt = mom[0]
     safe = jnp.maximum(cnt, 1.0)
     mx, my, mz = mom[1] / safe, mom[2] / safe, mom[3] / safe

@@ -33,8 +33,8 @@ TB = 1024
 NMOM = 10
 
 
-def _kernel(qx, qy, qz, q2, qlab, tx, ty, tz, t2, tlab,
-            out_ref, acc, *, r2, qb, tb):
+def _kernel(r2_ref, qx, qy, qz, q2, qlab, tx, ty, tz, t2, tlab,
+            out_ref, acc, *, qb, tb):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -42,6 +42,7 @@ def _kernel(qx, qy, qz, q2, qlab, tx, ty, tz, t2, tlab,
     def _():
         acc[:] = jnp.zeros_like(acc)
 
+    r2 = r2_ref[0, 0]
     vqx, vqy, vqz, vq2 = qx[0, :], qy[0, :], qz[0, :], q2[0, :]
     vtx, vty, vtz, vt2 = tx[0, :], ty[0, :], tz[0, :], t2[0, :]
     d2 = (vq2[:, None] + vt2[None, :]
@@ -70,11 +71,15 @@ def _kernel(qx, qy, qz, q2, qlab, tx, ty, tz, t2, tlab,
         out_ref[:] = acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "qb", "tb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("qb", "tb", "interpret"))
 def neighborhood_moments_pallas(xyz, label, valid, radius,
                                 qb: int = QB, tb: int = TB,
                                 interpret: bool = False):
-    """(10, N) masked neighborhood moments of every point (self-inclusive)."""
+    """(10, N) masked neighborhood moments of every point (self-inclusive).
+
+    `radius` may be a python float or a traced scalar (the density-adaptive
+    path, covariance.estimate_radius) — it enters the kernel via SMEM.
+    """
     n = xyz.shape[1]
     qb = min(qb, n)
     tb = min(tb, n)
@@ -84,22 +89,23 @@ def neighborhood_moments_pallas(xyz, label, valid, radius,
     # invalid queries get label -2 so they never match anything (their
     # covariance falls back to identity via the count check)
     qlab = jnp.where(valid, label, -2).astype(jnp.int32)
-    r2 = float(radius) ** 2
+    r2 = jnp.asarray(radius, jnp.float32).reshape(1, 1) ** 2
 
     grid = (n // qb, n // tb)
+    sspec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     qspec = pl.BlockSpec((1, qb), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((1, tb), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((NMOM, qb), lambda i, j: (0, i), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, r2=r2, qb=qb, tb=tb),
+        functools.partial(_kernel, qb=qb, tb=tb),
         grid=grid,
-        in_specs=[qspec] * 5 + [tspec] * 5,
+        in_specs=[sspec] + [qspec] * 5 + [tspec] * 5,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((NMOM, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((NMOM, qb), jnp.float32)],
         interpret=interpret,
-    )(tx[None], ty[None], tz[None], t2[None], qlab[None],
+    )(r2, tx[None], ty[None], tz[None], t2[None], qlab[None],
       tx[None], ty[None], tz[None], t2[None], lab[None])
     return out
 
@@ -112,7 +118,7 @@ def neighborhood_moments_xla(xyz, label, valid, radius, qb: int = 512):
     t2 = tx * tx + ty * ty + tz * tz
     lab = jnp.where(valid, label, -1).astype(jnp.int32)
     qlab_all = jnp.where(valid, label, -2).astype(jnp.int32)
-    r2 = float(radius) ** 2
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
     feats = jnp.stack([jnp.ones_like(tx), tx, ty, tz,
                        tx * tx, ty * ty, tz * tz,
                        tx * ty, tx * tz, ty * tz])       # (10, N)

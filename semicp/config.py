@@ -38,7 +38,8 @@ class CovConfig:
     """
 
     method: str = "radius"
-    radius: float = 0.8         # neighborhood radius (m) for method="radius"
+    radius: float = 0.0         # neighborhood radius (m); 0 = density-adaptive
+                                # (median sampled k-th-NN distance, in-jit)
     k: int = 20                 # kNN size for method="knn"
     eps: float = 1e-3           # smallest-eigenvalue clamp ("plane thickness")
     cell: float = 1.0           # voxel-hash cell size (hashgrid engine only)
