@@ -19,4 +19,17 @@ Layer map (bottom-up):
 
 __version__ = "0.1.0"
 
-from semicp.config import Config, default_config  # noqa: F401
+import jax as _jax
+
+# TPU's DEFAULT f32 matmul precision truncates operands to bf16 (8
+# mantissa bits). Every matmul in this engine is small geometry /
+# normal-equation work (4x4 pose composition, 6x6 GN solves, pose-graph
+# Hessian assembly, distance cancellation x^2+y^2-2xy) where that
+# truncation is a *correctness* bug — measured: pose-graph LM steps stop
+# being descent directions and the optimizer stalls at 1e4x the
+# reachable cost. The throughput-critical kernels either pin precision
+# explicitly (corr/bruteforce.py) or are hand-written Pallas (unaffected
+# by this flag), so full-f32 everywhere costs nothing measurable.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from semicp.config import Config, default_config  # noqa: F401, E402

@@ -27,7 +27,7 @@ import numpy as np
 from semicp.cli.common import load_scan_np, print_result, to_device_cloud
 from semicp.config import Config, parse_overrides
 from semicp.data import save_kitti_poses
-from semicp.register import make_align_fn
+from semicp.register import make_robust_align_fn
 from semicp.utils import MetricsLogger, PhaseTimer
 
 
@@ -58,7 +58,7 @@ def synthetic_frames(n_frames, n_points, seed=0):
 
 def run_odometry(args, cfg: Config):
     timer = PhaseTimer()
-    align_fn = make_align_fn(cfg)
+    align_fn = make_robust_align_fn(cfg)
 
     poses = [np.eye(4)]
     gt_traj = None

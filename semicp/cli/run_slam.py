@@ -36,7 +36,7 @@ from semicp.cli.common import load_scan_np, print_result, to_device_cloud
 from semicp.config import Config, parse_overrides
 from semicp.data import save_kitti_poses
 from semicp.geom.se3 import se3_exp
-from semicp.register import make_align_fn
+from semicp.register import make_robust_align_fn
 from semicp.slam.keyframes import KeyframeStore, keyframe_due, semantic_descriptor
 from semicp.slam.loop_closure import propose_loop_closures, verify_loop_closure
 from semicp.slam.pose_graph import PoseGraph, add_edge, add_pose, optimize_pose_graph
@@ -160,7 +160,7 @@ def _restore_state(state, cfg):
 
 def run_slam(args, cfg: Config):
     timer = PhaseTimer()
-    align_fn = make_align_fn(cfg)
+    align_fn = make_robust_align_fn(cfg)
     ml = MetricsLogger(args.jsonl)
 
     gt_traj = None

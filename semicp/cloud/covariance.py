@@ -54,8 +54,12 @@ def estimate_radius(xyz, label, valid, k: int = 20, class_aware: bool = True,
     """
     n = xyz.shape[1]
     s = min(n_samples, n)
-    stride = max(n // s, 1)
-    idx = jnp.arange(s) * stride
+    # Stride over the VALID prefix (make_cloud packs points at the front),
+    # not over n_pad: the sampled query set — and hence the estimated
+    # radius — must be identical across padding capacities
+    # (test_padding_invariance). Invalid samples are masked to NaN below.
+    cnt = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    idx = (jnp.arange(s) * cnt) // s                     # (S,) in [0, cnt)
     q = xyz[:, idx]                                      # (3, S)
     qlab, qval = label[idx], valid[idx]
     d2 = (jnp.sum(q * q, 0)[:, None] + jnp.sum(xyz * xyz, 0)[None, :]

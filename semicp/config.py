@@ -65,6 +65,8 @@ class EMConfig:
     alpha: float = 0.85         # P(observed label correct) — confusion-matrix model
     num_em_classes: int = 4     # top-k semantic classes considered per source point
     uniform_semantics: bool = False  # True => plain GICP ablation (uniform class weights)
+    retry_overlap_frac: float = 0.8  # warm-start recovery: retry from identity when
+                                     # n_corr < frac * min(|src|,|tgt|) (0 disables)
 
 
 @dataclass(frozen=True)

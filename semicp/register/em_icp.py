@@ -164,6 +164,36 @@ def make_align_fn(cfg: Config):
     return fn
 
 
+def make_robust_align_fn(cfg: Config):
+    """align fn with a host-side recovery retry (odometry/SLAM drivers).
+
+    A constant-velocity warm start occasionally lands EM in a wrong
+    local minimum (measured on the synthetic loop: one corner frame
+    converged to 1.8 m error from the warm start, 6 mm from identity).
+    The failure is detectable without ground truth: the bad basin keeps
+    far fewer gated correspondences than the clouds' overlap supports.
+    If the warm-started solve fails to converge or its correspondence
+    count drops below `em.retry_overlap_frac` of min(|src|, |tgt|),
+    re-solve from identity and keep whichever solution retains more
+    correspondences. Costs one extra solve only on suspect frames.
+    """
+    base = make_align_fn(cfg)
+    frac = cfg.em.retry_overlap_frac
+
+    def fn(src: Cloud, tgt: Cloud, T0=None):
+        res = base(src, tgt, T0)
+        if frac <= 0.0 or T0 is None:
+            return res
+        n_expect = float(jnp.minimum(src.count, tgt.count))
+        healthy = bool(res.converged) and float(res.n_corr) >= frac * n_expect
+        if healthy:
+            return res
+        res2 = base(src, tgt, None)
+        return res2 if float(res2.n_corr) > float(res.n_corr) else res
+
+    return fn
+
+
 def align(src: Cloud, tgt: Cloud, cfg: Config | None = None, T_init=None) -> AlignResult:
     """Align source onto target: returns T with x_tgt ~= T @ x_src.
 
