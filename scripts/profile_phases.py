@@ -56,10 +56,11 @@ def main():
 
     T0 = jnp.eye(4, dtype=jnp.float32)
 
+    from semicp.register.em_icp import _prepare_target
+
     @jax.jit
     def estep_only(tgt, src, T):
-        flat = jnp.concatenate([tgt.xyz.reshape(-1), tgt.cov6.reshape(-1)])
-        return _estep(tgt, flat, src, T, cfg)
+        return _estep(_prepare_target(tgt, cfg), src, T, cfg)
 
     ms_e, (x_pl, w, sinv) = timeit(estep_only, tgt, src, T0, reps=reps)
     print(f"E-step (NN+weights):      {ms_e:8.2f} ms")

@@ -168,6 +168,184 @@ def sort_cloud_by_class(xyz, label, cov6, valid, num_classes: int):
     return xyz_s, label_s, attrs16
 
 
+def sort_cloud_spatial(xyz, label, cov6, valid, num_classes: int, cell: float,
+                       tb: int = TB) -> dict:
+    """Morton-sort the target and precompute tile metadata (once per align).
+
+    Returns the loop-invariant prep for `class_nn_attrs_sparse`:
+      xyz_s (3,N), label_s (N,) (invalid = num_classes), attrs16 (16,N)
+      — all in Morton order, invalid points last —
+      tlo/thi (n_tt,3) exact per-tile AABBs over valid points, and
+      clsmask (n_tt,) int32 bitmask of classes present in each tile.
+
+    num_classes must be <= 30 (bitmask in a signed int32).
+    """
+    assert num_classes <= 30, "class bitmask uses an int32"
+    from semicp.corr.morton import morton_order, tile_aabbs
+
+    order = morton_order(xyz, valid, cell)
+    xyz_s = jnp.take(xyz, order, axis=1)
+    cov6_s = jnp.take(cov6, order, axis=1)
+    valid_s = jnp.take(valid, order)
+    label_s = jnp.where(valid_s, jnp.maximum(jnp.take(label, order), 0),
+                        num_classes).astype(jnp.int32)
+    n = xyz.shape[1]
+    pad = jnp.zeros((NATTR - 9, n), jnp.float32)
+    attrs16 = jnp.concatenate([xyz_s, cov6_s, pad], axis=0)
+
+    tb = min(tb, n)
+    tlo, thi = tile_aabbs(xyz_s, valid_s, tb)
+    lab_t = label_s.reshape(-1, tb)                                # (n_tt, tb)
+    ks = jnp.arange(num_classes, dtype=jnp.int32)
+    present = jnp.any(lab_t[:, None, :] == ks[None, :, None], axis=2)
+    clsmask = jnp.sum(present.astype(jnp.int32) << ks[None, :], axis=1)
+    return {
+        "xyz_s": xyz_s, "label_s": label_s, "attrs16": attrs16,
+        "tlo": tlo, "thi": thi, "clsmask": clsmask,
+    }
+
+
+def build_tile_candidates(q_xyz, q_valid, tlo, thi, gate: float, qb: int = QB):
+    """Per-query-tile candidate target-tile lists under the gate.
+
+    Exactness invariant: box_dist2(query tile, target tile) lower-bounds
+    every point-pair distance between them, so a tile beyond the gate
+    cannot contain any correspondence the E-step would accept — pruning
+    it changes nothing (SURVEY.md §7 hard part #1, restated for tiles).
+
+    Returns (cand (n_qt, n_tt) int32 — real candidates first, tail
+    repeating the last real one so the pipeline re-fetches no new block —
+    and count (n_qt,) int32).
+    """
+    from semicp.corr.morton import box_dist2, tile_aabbs
+
+    qlo, qhi = tile_aabbs(q_xyz, q_valid, qb)
+    bd2 = box_dist2(qlo, qhi, tlo, thi)                            # (n_qt, n_tt)
+    gate2 = gate * gate * (1.0 + 1e-5) + 1e-6
+    mask = bd2 <= gate2
+    count = jnp.sum(mask, axis=1).astype(jnp.int32)
+    order = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
+    last = jnp.take_along_axis(order, jnp.maximum(count - 1, 0)[:, None], axis=1)
+    n_tt = tlo.shape[0]
+    cand = jnp.where(jnp.arange(n_tt)[None, :] < count[:, None], order, last)
+    return cand, count
+
+
+def _sparse_kernel(cand_ref, count_ref, clsmask_ref,
+                   qx, qy, qz, q2, tx, ty, tz, t2, tlab, attrs,
+                   out_d2, out_attr, acc_d2, acc_attr, *, num_classes, qb, tb):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_d2[:] = jnp.full_like(acc_d2, INF)
+        acc_attr[:] = jnp.zeros_like(acc_attr)
+
+    tid = cand_ref[i, j]
+    cm = clsmask_ref[tid]
+
+    @pl.when(j < count_ref[i])
+    def _():
+        vqx, vqy, vqz, vq2 = qx[0, :], qy[0, :], qz[0, :], q2[0, :]
+        vtx, vty, vtz, vt2 = tx[0, :], ty[0, :], tz[0, :], t2[0, :]
+        d2 = (vq2[:, None] + vt2[None, :]
+              - 2.0 * vqx[:, None] * vtx[None, :]
+              - 2.0 * vqy[:, None] * vty[None, :]
+              - 2.0 * vqz[:, None] * vtz[None, :])     # (qb, tb)
+        lab = tlab[0, :][None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (qb, tb), 1)
+
+        for k in range(num_classes):                   # static unroll, predicated
+            @pl.when(((cm >> k) & 1) == 1)
+            def _(k=k):
+                dk = jnp.where(lab == k, d2, INF)
+                m = jnp.min(dk, axis=1)
+                a = jnp.argmin(dk, axis=1)
+                onehot = (col == a[:, None]).astype(jnp.float32)
+                sel = jax.lax.dot_general(
+                    attrs[:, :], onehot,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (NATTR, qb)
+                better = m < acc_d2[k, :]
+                acc_d2[k, :] = jnp.where(better, m, acc_d2[k, :])
+                acc_attr[k] = jnp.where(better[None, :], sel, acc_attr[k])
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_d2[:] = acc_d2[:]
+        out_attr[:] = acc_attr[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "gate", "qb", "interpret"))
+def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
+                          gate: float, qb: int = QB, interpret: bool = False):
+    """Block-sparse per-class NN: Morton tiles + AABB-gate pruning.
+
+    Same contract as `class_nn_attrs_pallas` for every correspondence
+    within `gate` of its query (beyond the gate both report INF-or-
+    rejected; the E-step gates there anyway). prep comes from
+    `sort_cloud_spatial`. Skipped tiles cost ~15 ns of grid overhead and
+    no DMA (measured), so the kernel is O(N * tiles-in-gate), not O(N^2).
+    """
+    n = prep["xyz_s"].shape[1]
+    q = q_xyz.shape[1]
+    qb = min(qb, q)
+    tb = n // prep["tlo"].shape[0]        # static: tile size from prep shapes
+    K = num_classes
+
+    cand, count = build_tile_candidates(
+        q_xyz, q_valid, prep["tlo"], prep["thi"], gate, qb)
+
+    tx, ty, tz = prep["xyz_s"][0], prep["xyz_s"][1], prep["xyz_s"][2]
+    t2 = tx * tx + ty * ty + tz * tz
+    qx, qy, qz = q_xyz[0], q_xyz[1], q_xyz[2]
+    q2 = qx * qx + qy * qy + qz * qz
+
+    grid = (q // qb, n // tb)
+    qspec = pl.BlockSpec((1, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, tb),
+                         lambda i, j, cand, count, cm: (0, cand[i, j]),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((NATTR, tb),
+                         lambda i, j, cand, count, cm: (0, cand[i, j]),
+                         memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[qspec] * 4 + [tspec] * 5 + [aspec],
+        out_specs=(
+            pl.BlockSpec((K, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NATTR, qb), lambda i, j, *_: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, qb), jnp.float32),
+            pltpu.VMEM((K, NATTR, qb), jnp.float32),
+        ],
+    )
+
+    out_d2, out_attr = pl.pallas_call(
+        functools.partial(_sparse_kernel, num_classes=K, qb=qb, tb=tb),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, q), jnp.float32),
+            jax.ShapeDtypeStruct((K, NATTR, q), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        cand, count, prep["clsmask"],
+        qx[None], qy[None], qz[None], q2[None],
+        tx[None], ty[None], tz[None], t2[None], prep["label_s"][None],
+        prep["attrs16"],
+    )
+    return out_d2, out_attr
+
+
 def class_nn_attrs_xla(tgt_xyz, tgt_label, tgt_valid, tgt_cov6, q_xyz, num_classes: int):
     """XLA fallback with the same contract (CPU mesh / tests)."""
     from semicp.corr.bruteforce import class_nn
