@@ -6,9 +6,11 @@ vs_baseline is the speedup over the CPU kd-tree baseline
 the reference's architecture) on the *same* scan pair on this host
 (BASELINE.json:5 target: >=10x).
 
-Runs on whatever the default JAX platform is (the TPU chip under the
-driver; CPU elsewhere). KITTI-scale workload: ~26k points per scan
-after voxel downsampling, 20 semantic classes' worth of config.
+Workload = config 1's regime (BASELINE.json:7): ~120k points per scan,
+20 semantic classes, 20 EM iteration budget. Override with
+BENCH_N_POINTS / BENCH_CLASSES / BENCH_REPEATS. A per-phase steady-state
+table (covariance preprocess / target prep / NN kernel / E-step reduce /
+GN / full align) goes to stderr so bottleneck claims are auditable.
 """
 
 from __future__ import annotations
@@ -21,9 +23,73 @@ import time
 import numpy as np
 
 
-def main():
+def _steady_ms(fn, *args, reps=10):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3, out
+
+
+def phase_table(cfg, src, tgt, reps=10):
+    """Steady-state ms of each pipeline phase at the bench workload."""
     import jax
     import jax.numpy as jnp
+
+    from semicp.cloud import preprocess_cloud
+    from semicp.corr.morton import morton_order
+    from semicp.corr.pallas_nn2 import class_nn_attrs_sparse, sort_cloud_spatial
+    from semicp.geom import sym3
+    from semicp.register.em_icp import _log_sem, _permute_cloud, resolve_engine
+    from semicp.register.gauss_newton import apply_T_planar, gn_solve
+    from semicp.register.pallas_estep import estep_reduce_auto
+
+    K = cfg.cloud.num_classes
+    rows = []
+    engine = resolve_engine(cfg)
+
+    pre_fn = jax.jit(lambda c: preprocess_cloud(c, cfg.cov))
+    ms, _ = _steady_ms(pre_fn, src.replace(cov6=jnp.zeros_like(src.cov6)), reps=max(reps // 2, 2))
+    rows.append(("cov preprocess", ms))
+
+    if engine != "sparse":
+        return rows  # phase detail is for the flagship sparse TPU path
+
+    srcs = _permute_cloud(src, morton_order(src.xyz, src.valid, cfg.corr.cell))
+    sort_fn = jax.jit(lambda c: sort_cloud_spatial(
+        c.xyz, c.label, c.cov6, c.valid, K, cfg.corr.cell))
+    ms, prep = _steady_ms(sort_fn, tgt, reps=reps)
+    rows.append(("target Morton prep", ms))
+
+    T = jnp.eye(4, dtype=jnp.float32)
+    moved = jnp.stack(apply_T_planar(T, tuple(srcs.xyz)))
+    nn_fn = lambda: class_nn_attrs_sparse(  # noqa: E731
+        prep, moved, srcs.valid, num_classes=K, gate=cfg.corr.max_dist)
+    ms, (nn_d2, attrs) = _steady_ms(nn_fn, reps=reps)
+    rows.append(("NN kernel (sparse)", ms))
+
+    rc = jnp.stack(sym3.rotate(T[:3, :3], tuple(srcs.cov6)))
+    ls = _log_sem(srcs, cfg)
+    red_fn = lambda: estep_reduce_auto(  # noqa: E731
+        nn_d2, attrs, rc, tuple(moved), ls, srcs.valid,
+        gate2=cfg.corr.max_dist ** 2)
+    ms, (a6, b3, c, wsum) = _steady_ms(red_fn, reps=reps)
+    rows.append(("E-step reduce", ms))
+
+    gn_fn = jax.jit(lambda a6, b3, c: gn_solve(
+        T, tuple(srcs.xyz), tuple(a6[i] for i in range(6)),
+        tuple(b3[i] for i in range(3)), c, cfg.gn))
+    ms, _ = _steady_ms(gn_fn, a6, b3, c, reps=reps)
+    rows.append((f"GN solve (x{cfg.gn.max_iters})", ms))
+    return rows
+
+
+def main():
+    import jax
 
     from semicp.cloud import make_cloud, preprocess_cloud
     from semicp.config import Config
@@ -33,25 +99,28 @@ def main():
     from semicp.register import make_align_fn
     from semicp.utils import PhaseTimer
 
-    n_points = int(os.environ.get("BENCH_N_POINTS", 26000))
+    n_points = int(os.environ.get("BENCH_N_POINTS", 120000))
+    n_classes = int(os.environ.get("BENCH_CLASSES", 20))
     n_pad = 1 << int(np.ceil(np.log2(n_points)))
-    repeats = int(os.environ.get("BENCH_REPEATS", 20))
+    repeats = int(os.environ.get("BENCH_REPEATS", 10))
     platform = jax.devices()[0].platform
 
     cfg = Config().override(
         {
             "cloud.n_pad": n_pad,
-            "cloud.num_classes": 8,
+            "cloud.num_classes": n_classes,
             "em.max_iters": 20,
         }
     )
 
     rng = np.random.default_rng(0)
-    tgt_pts, tgt_lab = make_scene(rng, n_points=n_points, extent=40.0, n_classes=8)
+    tgt_pts, tgt_lab = make_scene(rng, n_points=n_points, extent=40.0,
+                                  n_classes=n_classes)
     tgt_lab = tgt_lab - 1
     delta = np.array([0.5, -0.2, 0.05, 0.01, -0.02, 0.04])
     src_pts, src_lab, T_gt = make_pair(
-        rng, tgt_pts, tgt_lab, delta, noise=0.02, dropout=0.1, n_classes=8
+        rng, tgt_pts, tgt_lab, delta, noise=0.02, dropout=0.1,
+        n_classes=n_classes
     )
 
     timer = PhaseTimer()
@@ -82,11 +151,17 @@ def main():
     err = T @ np.linalg.inv(T_gt.astype(np.float64))
     terr = float(np.linalg.norm(err[:3, 3]))
 
-    # CPU baseline (same pair, same parameters), unless cached/skipped
-    cpu_scans_per_s = None
+    # CPU baseline (same pair, same parameters), cached per workload
     cache = os.environ.get("BENCH_CPU_CACHE", "/tmp/semicp_bench_cpu.json")
-    if os.environ.get("BENCH_SKIP_CPU") and os.path.exists(cache):
-        cpu_scans_per_s = json.load(open(cache))["cpu_scans_per_s"]
+    key = f"{n_points}x{n_classes}"
+    cached = {}
+    if os.path.exists(cache):
+        try:
+            cached = json.load(open(cache))
+        except Exception:
+            cached = {}
+    if os.environ.get("BENCH_SKIP_CPU") and key in cached:
+        cpu_scans_per_s = cached[key]
     else:
         from semicp.oracle.cpu_baseline import estimate_covariances_fast
 
@@ -100,7 +175,8 @@ def main():
         )
         cpu_dt = time.perf_counter() - t0
         cpu_scans_per_s = 1.0 / cpu_dt
-        json.dump({"cpu_scans_per_s": cpu_scans_per_s}, open(cache, "w"))
+        cached[key] = cpu_scans_per_s
+        json.dump(cached, open(cache, "w"))
 
     result = {
         "metric": "semantic_em_icp_scans_per_s",
@@ -109,11 +185,14 @@ def main():
         "vs_baseline": round(scans_per_s / cpu_scans_per_s, 2),
     }
     print(json.dumps(result))
-    print(
-        f"# n={n_points} iters={int(res.iterations)} trans_err={terr:.4f}m "
-        f"cpu={cpu_scans_per_s:.3f} scans/s\n" + timer.table(),
-        file=sys.stderr,
-    )
+    lines = [f"# n={n_points} classes={n_classes} iters={int(res.iterations)} "
+             f"trans_err={terr:.4f}m cpu={cpu_scans_per_s:.4f} scans/s"]
+    try:
+        for name, ms in phase_table(cfg, src, tgt, reps=max(repeats // 2, 3)):
+            lines.append(f"# phase {name:24s} {ms:9.2f} ms")
+    except Exception as e:  # phase detail must never sink the headline
+        lines.append(f"# phase table unavailable: {e}")
+    print("\n".join(lines) + "\n" + timer.table(), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -5,10 +5,12 @@ decisions, loop-closure gating, checkpointing. Device data plane: EM
 alignments (odometry + loop verification) and pose-graph GN.
 
 Per frame:
-  odometry   align scan onto the previous scan (or last submap with
-             --scan-to-map), warm-started by constant velocity
+  odometry   align scan onto the previous scan, or — with --scan-to-map
+             — onto the current submap (the last `slam.submap_keyframes`
+             keyframe clouds fused in the newest keyframe's frame,
+             slam/submap.py), warm-started by constant velocity
   keyframe   spawned after enough motion; adds a pose-graph node and an
-             odometry edge
+             odometry edge weighted by the align's GN Hessian
   loop       older keyframes gated by pose proximity + semantic
              descriptor; survivors verified by a wide-gate EM align;
              accepted edges trigger pose-graph optimization and a
@@ -18,7 +20,7 @@ trajectory recomposes against FINAL optimized keyframe poses, so late
 loop closures correct the whole history.
 
 Usage:
-  python -m semicp.cli.run_slam --synthetic 120 [--loop] [--n-points 3000]
+  python -m semicp.cli.run_slam --synthetic 120 [--loop] [--scan-to-map]
   python -m semicp.cli.run_slam --seq <kitti-seq-dir> [--voxel 0.3]
       [--out poses.txt] [--jsonl metrics.jsonl] [--checkpoint-dir ckpt/ --resume]
 """
@@ -38,8 +40,13 @@ from semicp.data import save_kitti_poses
 from semicp.geom.se3 import se3_exp
 from semicp.register import make_robust_align_fn
 from semicp.slam.keyframes import KeyframeStore, keyframe_due, semantic_descriptor
-from semicp.slam.loop_closure import propose_loop_closures, verify_loop_closure
+from semicp.slam.loop_closure import (
+    edge_info_from_hessian,
+    propose_loop_closures,
+    verify_loop_closure,
+)
 from semicp.slam.pose_graph import PoseGraph, add_edge, add_pose, optimize_pose_graph
+from semicp.slam.submap import build_submap
 from semicp.utils import MetricsLogger, PhaseTimer
 
 
@@ -56,6 +63,9 @@ def build_parser():
                     help="synthetic: drive a closed loop (tests loop closure)")
     ap.add_argument("--drift", type=float, default=0.0,
                     help="synthetic: inject per-frame odometry drift (m)")
+    ap.add_argument("--scan-to-map", action="store_true",
+                    help="odometry aligns against the current submap "
+                         "instead of the previous scan (BASELINE.json:9)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max-keyframes", type=int, default=256)
@@ -193,6 +203,20 @@ def run_slam(args, cfg: Config):
     T_rel_prev = np.eye(4, dtype=np.float32)
     frame = 0
     n_loop_edges = 0
+    submap = None            # (anchor kf index, fused Cloud) for --scan-to-map
+
+    def rebuild_submap():
+        """Fuse the last submap_keyframes keyframe clouds into the newest
+        keyframe's frame (slam/submap.py). Rebuilt per keyframe; stale
+        poses after a PGO correction are refreshed at the next rebuild."""
+        poses_cur = np.asarray(graph.poses, np.float64)
+        kfs = store.keyframes[-cfg.slam.submap_keyframes:]
+        anchor = store[-1].index
+        with timer.phase("submap"):
+            sm = build_submap(kfs, poses_cur, anchor, cfg,
+                              voxel=args.voxel if args.seq else 0.1)
+            jax.block_until_ready(sm.cov6)
+        return anchor, sm
 
     start_frame = 0
     if args.resume and args.checkpoint_dir:
@@ -203,6 +227,8 @@ def run_slam(args, cfg: Config):
             graph, store, anchors, T_now, T_rel_prev, prev_cloud, start_frame = \
                 _restore_state(state, cfg)
             frame = start_frame
+            if args.scan_to_map and len(store):
+                submap = rebuild_submap()
             print(f"resumed at frame {start_frame} "
                   f"({len(store)} keyframes, {int(graph.n_edges)} edges)",
                   file=sys.stderr)
@@ -226,12 +252,27 @@ def run_slam(args, cfg: Config):
             store.add(frame, T_now, cloud, desc)
             graph = add_pose(graph, T_now.astype(np.float32))
             anchors.append((0, np.eye(4)))
+            if args.scan_to_map:
+                submap = rebuild_submap()
         else:
             with timer.phase("odometry"):
-                res = align_fn(cloud, prev_cloud, T_rel_prev)
+                if submap is not None:
+                    # scan-to-map: align against the fused submap in its
+                    # anchor keyframe's frame (denser constraint, less
+                    # drift than scan-to-scan; SURVEY.md §3.3)
+                    anchor_idx, sm_cloud = submap
+                    anchor_pose = np.asarray(graph.poses, np.float64)[anchor_idx]
+                    T_pred = T_now @ np.asarray(T_rel_prev, np.float64)
+                    T_init = np.linalg.inv(anchor_pose) @ T_pred
+                    res = align_fn(cloud, sm_cloud,
+                                   np.asarray(T_init, np.float32))
+                    T_new = anchor_pose @ np.asarray(res.T, np.float64)
+                    T_rel = np.linalg.inv(T_now) @ T_new
+                else:
+                    res = align_fn(cloud, prev_cloud, T_rel_prev)
+                    T_rel = np.asarray(res.T, np.float64)
                 jax.block_until_ready(res.T)
-            T_rel = np.asarray(res.T, np.float64)
-            T_rel_prev = np.asarray(res.T)
+            T_rel_prev = T_rel.astype(np.float32)
             if args.drift:
                 # simulate biased odometry: a per-frame yaw bias (rad).
                 # (A constant translational bias on a closed loop is just
@@ -259,13 +300,16 @@ def run_slam(args, cfg: Config):
                 graph = add_pose(graph, T_now.astype(np.float32))
                 Z = np.linalg.inv(last_kf_pose) @ T_now
                 graph = add_edge(graph, kf_last.index, kf.index,
-                                 Z.astype(np.float32), 1.0)
+                                 Z.astype(np.float32),
+                                 edge_info_from_hessian(res.H))
+                if args.scan_to_map:
+                    submap = rebuild_submap()
 
                 with timer.phase("loop_search"):
                     poses_now = np.asarray(graph.poses, np.float64)
                     cands = propose_loop_closures(store, kf, poses_now, cfg)
                     accepted = []
-                    for c in cands[:3]:
+                    for c in cands[:cfg.slam.lc_max_candidates]:
                         ok, Zl, info = verify_loop_closure(
                             store, c, kf.index, poses_now, cfg)
                         if ok:

@@ -42,18 +42,23 @@ class CovConfig:
                                 # (median sampled k-th-NN distance, in-jit)
     k: int = 20                 # kNN size for method="knn"
     eps: float = 1e-3           # smallest-eigenvalue clamp ("plane thickness")
-    cell: float = 1.0           # voxel-hash cell size (hashgrid engine only)
-    max_candidates: int = 16    # candidates per cell (hashgrid engine only)
 
 
 @dataclass(frozen=True)
 class CorrConfig:
-    """Voxel-grid-hash correspondence engine (replaces per-class kd-trees)."""
+    """Correspondence engine (replaces per-class kd-trees).
 
-    cell: float = 2.0           # hash cell size; must be >= max_dist for the 27-cell NN contract
+    engine "auto": Morton block-sparse Pallas NN for large clouds,
+    dense class-sorted Pallas NN for small ones (XLA fallback on CPU).
+    "dense" / "sparse" force a kernel (interpret-mode on CPU — used by
+    CI to pin the full sparse EM path); "xla" forces the gather
+    fallback (the ring-correspondence / CPU-mesh path).
+    """
+
+    engine: str = "auto"        # auto | dense | sparse | xla
     max_dist: float = 2.0       # max correspondence distance gate (m)
-    bucket_cap: int = 16        # candidates gathered per cell probe
-    table_bits: int = 18        # hash table size = 2**table_bits cells
+    cell: float = 2.0           # Morton quantization cell (locality only, not correctness)
+    sparse_min_n: int = 16384   # auto: use the block-sparse kernel at/above this n_pad
 
 
 @dataclass(frozen=True)
@@ -63,7 +68,6 @@ class EMConfig:
     max_iters: int = 30         # outer EM iterations
     trans_eps: float = 1e-4     # convergence: ||log(T_new T_old^-1)|| threshold
     alpha: float = 0.85         # P(observed label correct) — confusion-matrix model
-    num_em_classes: int = 4     # top-k semantic classes considered per source point
     uniform_semantics: bool = False  # True => plain GICP ablation (uniform class weights)
     retry_overlap_frac: float = 0.8  # warm-start recovery: retry from identity when
                                      # n_corr < frac * min(|src|,|tgt|) (0 disables)
@@ -88,6 +92,7 @@ class SLAMConfig:
     lc_min_gap: int = 50            # min keyframe index gap for loop-closure candidates
     lc_max_dist: float = 10.0       # m pose-proximity gate
     lc_desc_thresh: float = 0.25    # semantic-histogram descriptor distance gate
+    lc_max_candidates: int = 3      # loop candidates verified per keyframe
     pgo_iters: int = 20             # pose-graph GN iterations
     pgo_huber: float = 1.0          # robust kernel scale
     checkpoint_every: int = 25      # keyframes between orbax checkpoints

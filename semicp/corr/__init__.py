@@ -1,7 +1,8 @@
-from semicp.corr.hashgrid import (  # noqa: F401
-    HashGrid,
-    build_grid,
-    query_nn,
-    query_knn,
-    GRID_DIMS,
+from semicp.corr.bruteforce import class_nn, knn_self  # noqa: F401
+from semicp.corr.pallas_nn2 import (  # noqa: F401
+    class_nn_attrs_pallas,
+    class_nn_attrs_sparse,
+    class_nn_attrs_xla,
+    sort_cloud_by_class,
+    sort_cloud_spatial,
 )

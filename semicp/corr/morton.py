@@ -77,7 +77,7 @@ def box_dist2(qlo, qhi, tlo, thi):
     pair of points drawn from the two boxes (the pruning invariant).
     """
     d = jnp.maximum(0.0, jnp.maximum(qlo[:, None, :] - thi[None, :, :],
-                                     tlo[None, :, :] - qhi[None, :, :]))
+                                     tlo[None, :, :] - qhi[:, None, :]))
     d = jnp.where(jnp.isnan(d), 1.0e18, d)   # inf-inf from empty boxes
     d = jnp.minimum(d, 1.0e18)               # keep d^2 finite in f32
     return jnp.sum(d * d, axis=-1)

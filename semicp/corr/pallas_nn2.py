@@ -1,14 +1,14 @@
-"""Fused per-class NN v2 — class-sorted tiles + in-kernel attribute selection.
+"""Fused per-class NN — sorted tiles + in-kernel attribute selection.
 
-Evolution of pallas_nn.py driven by v5e traces of the full EM loop:
+Kernel evolution driven by v5e traces of the full EM loop (the v1
+kernel this replaced ran K min/argmin passes over every distance tile,
+~(3+6K) VPU ops/candidate -> 5.6 ms per E-step at 8k x 8k, K=8):
 
-1. The v1 kernel ran K min/argmin passes over every distance tile
-   (~(3+6K) VPU ops/candidate -> 5.6 ms per E-step at 8k x 8k, K=8).
-   Here the target is sorted by class ONCE per align (it is loop-
-   invariant), so each target tile spans only 1-2 classes; per-tile
-   class ranges [cmin_j, cmax_j] arrive via scalar prefetch and gate
-   each class pass with @pl.when — real branches, absent classes cost
-   nothing. Expected passes/tile ~ 1 + (K-1)/n_tiles.
+1. The target is sorted ONCE per align (it is loop-invariant) — by
+   class for the dense kernel, so each target tile spans only 1-2
+   classes; per-tile class ranges [cmin_j, cmax_j] arrive via scalar
+   prefetch and gate each class pass with @pl.when — real branches,
+   absent classes cost nothing. Expected passes/tile ~ 1 + (K-1)/n_tiles.
 
 2. The winner-attribute gather afterwards (9 planes x (K,N) indices)
    ran on XLA's scalar-gather path (~4.2 ms/iteration). Here the
@@ -181,6 +181,11 @@ def sort_cloud_spatial(xyz, label, cov6, valid, num_classes: int, cell: float,
     num_classes must be <= 30 (bitmask in a signed int32).
     """
     assert num_classes <= 30, "class bitmask uses an int32"
+    n_pts = xyz.shape[1]
+    tb_eff = min(tb, n_pts)
+    assert n_pts % tb_eff == 0, (
+        f"sort_cloud_spatial: N={n_pts} must be a multiple of the target "
+        f"tile tb={tb_eff} (pad the cloud to a power of two >= {tb_eff})")
     from semicp.corr.morton import morton_order, tile_aabbs
 
     order = morton_order(xyz, valid, cell)
@@ -294,7 +299,11 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     n = prep["xyz_s"].shape[1]
     q = q_xyz.shape[1]
     qb = min(qb, q)
+    assert q % qb == 0, (
+        f"class_nn_attrs_sparse: Q={q} must be a multiple of the query "
+        f"block qb={qb} (pad queries to a power of two >= {qb})")
     tb = n // prep["tlo"].shape[0]        # static: tile size from prep shapes
+    assert n % tb == 0, f"prep tile metadata inconsistent: N={n}, tb={tb}"
     K = num_classes
 
     cand, count = build_tile_candidates(

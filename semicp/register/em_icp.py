@@ -5,11 +5,11 @@ Reference counterpart: `SemanticIterativeClosestPoint<PointT,SemanticT>
 "EM semantic registration core", §2.2, §3.1). One XLA program runs the
 whole EM: a `lax.while_loop` whose body is
 
-  E-step: per-class voxel-hash NN for every source point — the K class
-          queries run as a sequential `lax.map` over a key offset (no
-          per-class trees; sequential keeps peak memory at one class's
-          candidate set), then combined covariances and soft
-          semantic/geometric weights as (K, N) planes
+  E-step: per-class NN for every source point (fused Pallas kernel —
+          dense class-sorted tiles, or Morton block-sparse tiles with
+          AABB-gate pruning at map scale; corr/pallas_nn2.py), then the
+          fused weight+reduce kernel collapses the class axis into
+          per-point GN planes (register/pallas_estep.py)
   M-step: frozen-correspondence Gauss-Newton/LM (gauss_newton.py)
   check:  ||log(T_new T_old^-1)|| < trans_eps  (SURVEY.md §2.2 step 4)
 
@@ -30,13 +30,16 @@ from semicp.cloud.cloud import Cloud
 from semicp.config import Config
 from semicp.corr.pallas_nn2 import (
     class_nn_attrs_pallas,
+    class_nn_attrs_sparse,
     class_nn_attrs_xla,
     sort_cloud_by_class,
+    sort_cloud_spatial,
 )
+from semicp.corr.morton import morton_order
 from semicp.geom import sym3
 from semicp.geom.se3 import se3_inverse, se3_log
 from semicp.register.gauss_newton import apply_T_planar, gn_solve
-from semicp.register.pallas_estep import estep_weights_auto
+from semicp.register.pallas_estep import estep_reduce_auto
 
 
 @struct.dataclass
@@ -46,90 +49,137 @@ class AlignResult:
     converged: jnp.ndarray    # () bool
     cost: jnp.ndarray         # () float32 final weighted Mahalanobis cost
     n_corr: jnp.ndarray       # () float32 effective correspondence count
+    H: jnp.ndarray            # (6,6) GN Hessian at the final pose (edge info)
 
 
-def _estep(tgt_prep, src: Cloud, T, cfg: Config):
-    """Per-class NN + soft weights for all source points at pose T.
+def resolve_engine(cfg: Config) -> str:
+    """Static correspondence-engine choice (see CorrConfig.engine)."""
+    eng = cfg.corr.engine
+    if eng == "auto":
+        if jax.default_backend() == "cpu":
+            return "xla"
+        return "sparse" if cfg.cloud.n_pad >= cfg.corr.sparse_min_n else "dense"
+    return eng
 
-    tgt_prep is the loop-invariant prepared target from `_prepare_target`
-    (class-sorted planes + packed attribute rows on TPU; the raw cloud on
-    CPU). The NN kernel returns each winner's attribute row directly, so
-    the EM loop contains no gathers (see corr/pallas_nn2.py).
 
-    Returns (tgt_planes 3x(K,N), w (K,N), sinv 6x(K,N)).
+def _permute_cloud(c: Cloud, order) -> Cloud:
+    return c.replace(
+        xyz=jnp.take(c.xyz, order, axis=1),
+        label=jnp.take(c.label, order),
+        cov6=jnp.take(c.cov6, order, axis=1),
+        valid=jnp.take(c.valid, order),
+    )
+
+
+def _prepare_target(tgt: Cloud, cfg: Config, engine: str) -> dict:
+    """Loop-invariant target preparation (once per align).
+
+    dense:  class-sort the planes and pack attribute rows for the fused
+            NN kernel (pallas_nn2.class_nn_attrs_pallas).
+    sparse: Morton-sort + per-tile AABBs/class-masks for the block-
+            sparse kernel (pallas_nn2.class_nn_attrs_sparse) — the
+            kd-tree-replacing O(N * tiles-in-gate) path.
+    xla:    raw cloud through the gather fallback (CPU mesh / tests).
+    """
+    if engine == "xla":
+        return ("cloud", {"cloud": tgt})
+    if engine == "sparse":
+        prep = sort_cloud_spatial(tgt.xyz, tgt.label, tgt.cov6, tgt.valid,
+                                  cfg.cloud.num_classes, cfg.corr.cell)
+        return ("sparse", prep)
+    xyz_s, label_s, attrs16 = sort_cloud_by_class(
+        tgt.xyz, tgt.label, tgt.cov6, tgt.valid, cfg.cloud.num_classes
+    )
+    return ("sorted", {"xyz_s": xyz_s, "label_s": label_s, "attrs16": attrs16})
+
+
+def _estep(tgt_prep, src: Cloud, log_sem, T, cfg: Config, interpret: bool):
+    """Per-class NN + fused weight/reduce for all source points at pose T.
+
+    tgt_prep is the loop-invariant prepared target from `_prepare_target`;
+    log_sem is the loop-invariant (K, N) semantic log-prior. The NN
+    kernel returns each winner's attribute row directly and the reduce
+    kernel collapses the class axis, so the EM loop contains no gathers
+    and no (K, N) round trips after this function returns.
+
+    Returns (a6 (6,N), b3 (3,N), c (N), wsum (N)).
     """
     K = cfg.cloud.num_classes
     moved = apply_T_planar(T, tuple(src.xyz))          # 3 x (N,)
     moved_arr = jnp.stack(moved)                       # (3, N)
     R = T[:3, :3]
 
-    if tgt_prep["kind"] == "sorted":
+    kind, prep = tgt_prep
+    if kind == "sparse":
+        nn_d2, attrs = class_nn_attrs_sparse(
+            prep, moved_arr, src.valid, num_classes=K,
+            gate=cfg.corr.max_dist, interpret=interpret,
+        )
+    elif kind == "sorted":
         nn_d2, attrs = class_nn_attrs_pallas(
-            tgt_prep["xyz_s"], tgt_prep["label_s"], tgt_prep["attrs16"],
-            moved_arr, num_classes=K,
+            prep["xyz_s"], prep["label_s"], prep["attrs16"],
+            moved_arr, num_classes=K, interpret=interpret,
         )
     else:
-        tgt = tgt_prep["cloud"]
+        tgt = prep["cloud"]
         nn_d2, attrs = class_nn_attrs_xla(
             tgt.xyz, tgt.label, tgt.valid, tgt.cov6, moved_arr, num_classes=K,
         )
-    x_pl = tuple(attrs[:, i, :] for i in range(3))     # (K, N) planes
-    cx = tuple(attrs[:, 3 + i, :] for i in range(6))
-    rc = sym3.rotate(R, tuple(src.cov6))               # rotated src cov, (N,) planes
-    sigma = jnp.stack([c + r[None, :] for c, r in zip(cx, rc)])   # (6,K,N)
-    d_pl = tuple(xp - m[None, :] for xp, m in zip(x_pl, moved))
-    d = jnp.stack(d_pl)                                 # (3,K,N)
-    # exact gate distance from the winner's coordinates (the matmul
-    # expansion loses ~1e-3 m^2 to cancellation; residuals are exact)
-    exact_d2 = d[0] ** 2 + d[1] ** 2 + d[2] ** 2
-    found = (exact_d2 <= cfg.corr.max_dist**2) & (nn_d2 < 1.0e37)
-
-    if cfg.em.uniform_semantics:
-        log_sem = jnp.zeros((K,) + src.label.shape, jnp.float32)
-    else:
-        classes = jnp.arange(K, dtype=jnp.int32)[:, None]
-        match = src.label[None, :] == classes
-        log_sem = jnp.where(
-            match,
-            jnp.log(cfg.em.alpha),
-            jnp.log((1.0 - cfg.em.alpha) / max(K - 1, 1)),
-        ).astype(jnp.float32)
-
-    gate = (found & src.valid[None, :]).astype(jnp.float32)
-    w, sinv_arr = estep_weights_auto(sigma, d, log_sem, gate)
-    sinv = tuple(sinv_arr[i] for i in range(6))
-    return x_pl, w, sinv
-
-
-def _prepare_target(tgt: Cloud, cfg: Config) -> dict:
-    """Loop-invariant target preparation (once per align).
-
-    TPU: class-sort the planes and pack attribute rows for the fused NN
-    kernel. CPU (tests / virtual mesh): pass the raw cloud through to
-    the XLA fallback.
-    """
-    if jax.default_backend() == "cpu":
-        return {"kind": "cloud", "cloud": tgt}
-    xyz_s, label_s, attrs16 = sort_cloud_by_class(
-        tgt.xyz, tgt.label, tgt.cov6, tgt.valid, cfg.cloud.num_classes
+    rc = jnp.stack(sym3.rotate(R, tuple(src.cov6)))    # (6, N) rotated src cov
+    a6, b3, c, wsum = estep_reduce_auto(
+        nn_d2, attrs, rc, moved, log_sem, src.valid,
+        gate2=cfg.corr.max_dist ** 2, interpret=interpret,
     )
-    return {"kind": "sorted", "xyz_s": xyz_s, "label_s": label_s, "attrs16": attrs16}
+    return a6, b3, c, wsum
+
+
+def _log_sem(src: Cloud, cfg: Config):
+    """Loop-invariant (K, N) semantic log-prior (confusion-matrix model)."""
+    K = cfg.cloud.num_classes
+    if cfg.em.uniform_semantics:
+        return jnp.zeros((K,) + src.label.shape, jnp.float32)
+    classes = jnp.arange(K, dtype=jnp.int32)[:, None]
+    match = src.label[None, :] == classes
+    return jnp.where(
+        match,
+        jnp.log(cfg.em.alpha),
+        jnp.log((1.0 - cfg.em.alpha) / max(K - 1, 1)),
+    ).astype(jnp.float32)
 
 
 def _align_impl(src: Cloud, tgt: Cloud, T0, cfg: Config):
+    # TPU's DEFAULT f32 matmul precision truncates operands to bf16; the
+    # small geometry matmuls here (4x4 pose composition, 6x6 solves) are
+    # correctness-critical, so pin full f32 for this program only.
+    with jax.default_matmul_precision("highest"):
+        return _align_scoped(src, tgt, T0, cfg)
+
+
+def _align_scoped(src: Cloud, tgt: Cloud, T0, cfg: Config):
+    engine = resolve_engine(cfg)
+    # forced Pallas engines run interpret-mode on CPU (CI pins the full
+    # sparse/dense EM path without a chip)
+    interpret = jax.default_backend() == "cpu"
+    if engine == "sparse":
+        # Morton-sort the source once: query tiles then cover compact
+        # regions, which is what makes AABB tile pruning effective
+        src = _permute_cloud(src, morton_order(src.xyz, src.valid, cfg.corr.cell))
+    tgt_prep = _prepare_target(tgt, cfg, engine)
+    log_sem = _log_sem(src, cfg)
     src_planes = tuple(src.xyz)
-    tgt_prep = _prepare_target(tgt, cfg)
 
     def cond(carry):
-        T, it, step, cost, n_corr = carry
+        T, it, step, cost, n_corr, H = carry
         return (it < cfg.em.max_iters) & (step > cfg.em.trans_eps)
 
     def body(carry):
-        T, it, _step, _cost, _n = carry
-        x_pl, w, sinv = _estep(tgt_prep, src, T, cfg)
-        T_new, cost, _ = gn_solve(T, src_planes, x_pl, w, sinv, cfg.gn)
+        T, it, _step, _cost, _n, _H = carry
+        a6_arr, b3_arr, c, wsum = _estep(tgt_prep, src, log_sem, T, cfg, interpret)
+        a6 = tuple(a6_arr[i] for i in range(6))
+        b3 = tuple(b3_arr[i] for i in range(3))
+        T_new, cost, _, H = gn_solve(T, src_planes, a6, b3, c, cfg.gn)
         step = jnp.linalg.norm(se3_log(T_new @ se3_inverse(T)))
-        return (T_new, it + 1, step, cost, jnp.sum(w))
+        return (T_new, it + 1, step, cost, jnp.sum(wsum), H)
 
     init = (
         T0,
@@ -137,14 +187,16 @@ def _align_impl(src: Cloud, tgt: Cloud, T0, cfg: Config):
         jnp.float32(jnp.inf),
         jnp.float32(0.0),
         jnp.float32(0.0),
+        jnp.zeros((6, 6), jnp.float32),
     )
-    T, it, step, cost, n_corr = jax.lax.while_loop(cond, body, init)
+    T, it, step, cost, n_corr, H = jax.lax.while_loop(cond, body, init)
     return AlignResult(
         T=T,
         iterations=it,
         converged=step <= cfg.em.trans_eps,
         cost=cost,
         n_corr=n_corr,
+        H=H,
     )
 
 
@@ -176,6 +228,12 @@ def make_robust_align_fn(cfg: Config):
     count drops below `em.retry_overlap_frac` of min(|src|, |tgt|),
     re-solve from identity and keep whichever solution retains more
     correspondences. Costs one extra solve only on suspect frames.
+
+    Tuning assumption: consecutive-frame overlap >= retry_overlap_frac.
+    On genuinely low-overlap sequences (fast motion, heavy occlusion)
+    lower the fraction — at the default 0.8 every frame would fail the
+    health check and pay the double solve. The health fetch is one
+    device round trip (converged and n_corr fetched together).
     """
     base = make_align_fn(cfg)
     frac = cfg.em.retry_overlap_frac
@@ -185,11 +243,11 @@ def make_robust_align_fn(cfg: Config):
         if frac <= 0.0 or T0 is None:
             return res
         n_expect = float(jnp.minimum(src.count, tgt.count))
-        healthy = bool(res.converged) and float(res.n_corr) >= frac * n_expect
-        if healthy:
+        conv, n_corr = jax.device_get((res.converged, res.n_corr))
+        if bool(conv) and float(n_corr) >= frac * n_expect:
             return res
         res2 = base(src, tgt, None)
-        return res2 if float(res2.n_corr) > float(res.n_corr) else res
+        return res2 if float(res2.n_corr) > float(n_corr) else res
 
     return fn
 

@@ -9,8 +9,10 @@ shape XLA wants, and the H/g reduction is `psum`-able when
 correspondences are sharded over a mesh (SURVEY.md §2.3 "Distributed
 solver").
 
-Correspondences, weights and combined covariances stay frozen during
-the inner solve (the E-step's responsibility); only T moves.
+The E-step hands over class-COLLAPSED planes (A_i, b_i, c_i — see
+pallas_estep.estep_reduce_pallas), so the inner loop's bandwidth is
+O(N), not O(K N): correspondences, weights and combined covariances
+stay frozen during the inner solve; only T moves.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import jax.numpy as jnp
 
 from semicp.config import GNConfig
 from semicp.geom.se3 import se3_exp
-from semicp.register.residuals import normal_equations_planar
+from semicp.register.residuals import normal_equations_collapsed
 
 
 def apply_T_planar(T, z):
@@ -32,26 +34,25 @@ def apply_T_planar(T, z):
     return px, py, pz
 
 
-def gn_solve(T0, src_planes, tgt_planes, w, sinv, cfg: GNConfig, axis_name: str | None = None):
-    """Minimize sum w * d^T Sigma^-1 d over T, correspondences frozen.
+def gn_solve(T0, src_planes, a6, b3, c, cfg: GNConfig,
+             axis_name: str | None = None):
+    """Minimize sum_i c_i - 2 b_i.p_i + p_i.A_i p_i over T, p_i = T z_i.
 
     src_planes: 3-tuple of (N,) source coordinate planes
-    tgt_planes: 3-tuple of (...,N) matched target planes (any extra
-                leading dims, e.g. the class axis K)
-    w:          (...,N) weights (0 = inactive)
-    sinv:       6-tuple of (...,N) frozen Sigma^{-1} planes
+    a6:         6-tuple of (N,) — sum_k w Sigma^{-1} planes (sym3 order)
+    b3:         3-tuple of (N,) — sum_k w Sigma^{-1} x planes
+    c:          (N,) — sum_k w x^T Sigma^{-1} x
 
     When `axis_name` is given, the H/g/cost reductions are psum'd across
     that mesh axis (points-sharded distributed solve).
 
-    Returns (T, final_cost, last_step_norm).
+    Returns (T, final_cost, last_step_norm, H (6,6) at the final T).
     """
 
     def body(_, carry):
-        T, lam, prev_cost, _step = carry
-        p = apply_T_planar(T, src_planes)           # (N,) planes, broadcast
-        d = tuple(x - pi for x, pi in zip(tgt_planes, p))
-        H, g, cost = normal_equations_planar(w, sinv, p, d)
+        T, lam, prev_cost, _step, _H = carry
+        p = apply_T_planar(T, src_planes)           # (N,) planes
+        H, g, cost = normal_equations_collapsed(a6, b3, c, p)
         if axis_name is not None:
             H = jax.lax.psum(H, axis_name)
             g = jax.lax.psum(g, axis_name)
@@ -64,10 +65,11 @@ def gn_solve(T0, src_planes, tgt_planes, w, sinv, cfg: GNConfig, axis_name: str 
         worse = (prev_cost >= 0.0) & (cost > prev_cost)
         lam_new = jnp.where(worse, lam * cfg.lm_up, jnp.maximum(lam * cfg.lm_down, cfg.lm_lambda0))
         step = jnp.linalg.norm(delta)
-        return (T_new, lam_new, cost, step)
+        return (T_new, lam_new, cost, step, H)
 
     lam0 = jnp.asarray(cfg.lm_lambda0, jnp.float32)
-    T, _, cost, step = jax.lax.fori_loop(
-        0, cfg.max_iters, body, (T0, lam0, jnp.float32(-1.0), jnp.float32(0.0))
+    H0 = jnp.zeros((6, 6), jnp.float32)
+    T, _, cost, step, H = jax.lax.fori_loop(
+        0, cfg.max_iters, body, (T0, lam0, jnp.float32(-1.0), jnp.float32(0.0), H0)
     )
-    return T, cost, step
+    return T, cost, step, H

@@ -106,3 +106,81 @@ def normal_equations_planar(w, sinv, p, d, sum_axes=None):
     g = jnp.concatenate([g_t, g_r])
     cost = rsum(dx * t0 + dy * t1 + dz * t2)
     return H, g, cost
+
+
+def normal_equations_collapsed(a6, b3, c, p, sum_axes=None):
+    """GN system from the E-step's class-collapsed planes.
+
+    The fused E-step kernel (pallas_estep.estep_reduce_pallas) reduces
+    the class axis into per-point planes
+        A_i = sum_k w Sinv        (a6: 6-tuple of (...,N))
+        b_i = sum_k w Sinv x      (b3: 3-tuple)
+        c_i = sum_k w x^T Sinv x  (c: (...,N))
+    With J_i = [-I | hat(p_i)] depending only on the moved source point
+    p_i = T z_i, the per-(i,k) GN sums collapse exactly:
+        H = sum_i J_i^T A_i J_i
+        g = sum_i J_i^T u_i,  u_i = b_i - A_i p_i  (= sum_k w Sinv d)
+        cost = sum_i c_i - 2 b_i.p_i + p_i.(A_i p_i)
+    Same (H (6,6), g (6,), cost ()) contract as normal_equations_planar;
+    K times less bandwidth in the inner loop.
+    """
+    a00, a11, a22, a01, a02, a12 = a6
+    bx, by, bz = b3
+    px, py, pz = p
+
+    def rsum(x):
+        return jnp.sum(x, axis=sum_axes)
+
+    # A p
+    ap0 = a00 * px + a01 * py + a02 * pz
+    ap1 = a01 * px + a11 * py + a12 * pz
+    ap2 = a02 * px + a12 * py + a22 * pz
+    # u = b - A p  (plays the role of S d in normal_equations_planar)
+    t0 = bx - ap0
+    t1 = by - ap1
+    t2 = bz - ap2
+
+    # B = A P, P = hat(p)
+    b00 = a01 * pz - a02 * py
+    b01 = -a00 * pz + a02 * px
+    b02 = a00 * py - a01 * px
+    b10 = a11 * pz - a12 * py
+    b11 = -a01 * pz + a12 * px
+    b12 = a01 * py - a11 * px
+    b20 = a12 * pz - a22 * py
+    b21 = -a02 * pz + a22 * px
+    b22 = a02 * py - a12 * px
+    # C = P^T A P = -P B (symmetric)
+    c00 = pz * b10 - py * b20
+    c01 = pz * b11 - py * b21
+    c02 = pz * b12 - py * b22
+    c11 = -pz * b01 + px * b21
+    c12 = -pz * b02 + px * b22
+    c22 = py * b02 - px * b12
+
+    H_tt = jnp.stack([
+        jnp.stack([rsum(a00), rsum(a01), rsum(a02)]),
+        jnp.stack([rsum(a01), rsum(a11), rsum(a12)]),
+        jnp.stack([rsum(a02), rsum(a12), rsum(a22)]),
+    ])
+    H_tr = -jnp.stack([
+        jnp.stack([rsum(b00), rsum(b01), rsum(b02)]),
+        jnp.stack([rsum(b10), rsum(b11), rsum(b12)]),
+        jnp.stack([rsum(b20), rsum(b21), rsum(b22)]),
+    ])
+    H_rr = jnp.stack([
+        jnp.stack([rsum(c00), rsum(c01), rsum(c02)]),
+        jnp.stack([rsum(c01), rsum(c11), rsum(c12)]),
+        jnp.stack([rsum(c02), rsum(c12), rsum(c22)]),
+    ])
+    g_t = -jnp.stack([rsum(t0), rsum(t1), rsum(t2)])
+    g_r = jnp.stack([
+        rsum(t1 * pz - t2 * py),
+        rsum(t2 * px - t0 * pz),
+        rsum(t0 * py - t1 * px),
+    ])
+    H = jnp.block([[H_tt, H_tr], [H_tr.T, H_rr]])
+    g = jnp.concatenate([g_t, g_r])
+    cost = rsum(c - 2.0 * (bx * px + by * py + bz * pz)
+                + px * ap0 + py * ap1 + pz * ap2)
+    return H, g, cost

@@ -63,6 +63,18 @@ def verify_loop_closure(store: KeyframeStore, i: int, j: int, poses: np.ndarray,
     n_corr = float(res.n_corr)
     ok = bool(res.converged) and n_corr > 0.25 * float(store[j].cloud.count)
     Z = np.asarray(res.T, np.float64)
-    # information ~ correspondence support (crude but monotone)
-    info = float(min(n_corr / max(float(store[j].cloud.count), 1.0), 1.0))
-    return ok, Z, info
+    return ok, Z, edge_info_from_hessian(res.H)
+
+
+def edge_info_from_hessian(H) -> float:
+    """Scalar pose-graph edge information from the align's 6x6 GN Hessian.
+
+    The Hessian at convergence IS the constraint's information matrix
+    (inverse covariance of the estimated relative pose); its mean
+    diagonal is a monotone scalar summary that weights edges by both
+    correspondence count and geometric conditioning — a well-constrained
+    10k-point align outweighs a marginal 500-point loop closure.
+    optimize_pose_graph normalizes edge infos per solve, so only the
+    RELATIVE magnitudes matter.
+    """
+    return float(np.mean(np.diagonal(np.asarray(H, np.float64))))

@@ -106,6 +106,16 @@ def optimize_pose_graph(graph: PoseGraph, cfg: SLAMConfig) -> PoseGraph:
     onehot_i = jax.nn.one_hot(graph.edge_i, m, dtype=jnp.float32)   # (E, M)
     onehot_j = jax.nn.one_hot(graph.edge_j, m, dtype=jnp.float32)
 
+    # Normalize edge informations to mean 1 over active edges: infos come
+    # from align Hessians (loop_closure.edge_info_from_hessian) whose
+    # absolute scale is arbitrary; only relative weights should matter,
+    # and the normalized system stays f32-conditioned at any scale.
+    e_active = (jnp.arange(graph.edge_info.shape[0]) < graph.n_edges)
+    info_raw = jnp.where(e_active, graph.edge_info, 0.0)
+    mean_info = jnp.sum(info_raw) / jnp.maximum(graph.n_edges, 1)
+    graph_in = graph
+    graph = graph.replace(edge_info=info_raw / jnp.maximum(mean_info, 1e-30))
+
     # free = optimizable poses; pose 0 (gauge) and padding are eliminated
     active = jnp.arange(m) < graph.n_poses
     free = active & (jnp.arange(m) != 0)
@@ -136,7 +146,11 @@ def optimize_pose_graph(graph: PoseGraph, cfg: SLAMConfig) -> PoseGraph:
         keep = fmask[:, None] & fmask[None, :]
         H = jnp.where(keep, H, 0.0)
         g = jnp.where(fmask, g, 0.0)
-        damp = jnp.where(fmask, lam * jnp.diag(H) + 1e-6, 1.0)
+        # a free pose with no incident edges has diag(H) = 0: give it a
+        # unit diagonal (delta stays 0 since g = 0 there) instead of the
+        # 1e-6 floor, which produced huge rejected steps and stalled LM
+        dh = jnp.diag(H)
+        damp = jnp.where(fmask & (dh > 0.0), lam * dh + 1e-6, 1.0)
         H = H + jnp.diag(damp)
 
         delta = jnp.linalg.solve(H, -g).reshape(m, 6)
@@ -161,7 +175,7 @@ def optimize_pose_graph(graph: PoseGraph, cfg: SLAMConfig) -> PoseGraph:
 
     poses, _ = jax.lax.fori_loop(
         0, cfg.pgo_iters, body, (graph.poses, jnp.float32(1e-4)))
-    return graph.replace(poses=poses)
+    return graph_in.replace(poses=poses)
 
 
 def graph_cost(graph: PoseGraph) -> jnp.ndarray:

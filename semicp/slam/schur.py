@@ -23,7 +23,14 @@ solve runs replicated on every device (deterministic — same values in,
 same values out), and landmark back-substitution is local to each
 shard. This is the exact Schur-over-ICI pattern from the north star.
 
-Gauge: pose 0 pinned by a strong prior.
+Robustness (same construction as pose_graph.optimize_pose_graph, which
+replaced a 1e6-gauge-prior formulation that was ~1e11-conditioned in
+f32 and diverged on-chip):
+  * pose 0 is gauge-fixed by ELIMINATION (rows/cols zeroed, unit
+    diagonal), keeping S well-conditioned;
+  * Marquardt-scaled damping S + diag(lam * diag(S) + eps);
+  * accept/reject on the (psum'd, replicated) total cost — rejected
+    steps raise lam, so the solver cannot diverge on any backend.
 """
 
 from __future__ import annotations
@@ -56,7 +63,7 @@ def _linearize(poses, lms, obs_pose, obs_lm, obs_z, obs_w):
 
 
 def _schur_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w,
-                 m: int, axis: str | None):
+                 m: int, axis: str | None, lam):
     """One GN linearization + Schur reduction on the local shard."""
     l_shard = lms.shape[0]
     r, Jp, Jl = _linearize(poses, lms, obs_pose, obs_lm, obs_z, obs_w)
@@ -75,7 +82,11 @@ def _schur_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w,
     W = jnp.einsum("om,ol,o,oai,oaj->lmij", onehot_p, onehot_l, w, Jp, Jl)
     W = W.reshape(l_shard, 6 * m, 3)
 
-    Hll_inv = jnp.linalg.inv(Hll + 1e-6 * jnp.eye(3))
+    # landmark damping keeps Hll SPD (isolated/padded landmarks) AND
+    # makes the eliminated block LM-consistent with the pose block
+    Hll_damped = Hll + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diagonal)(Hll))
+                        + 1e-6 * jnp.eye(3))
+    Hll_inv = jnp.linalg.inv(Hll_damped)
     S_corr = jnp.einsum("lia,lab,ljb->ij", W, Hll_inv, W)
     g_corr = jnp.einsum("lia,lab,lb->i", W, Hll_inv, g_l)
 
@@ -85,10 +96,17 @@ def _schur_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w,
         S = jax.lax.psum(S, axis)
         g_s = jax.lax.psum(g_s, axis)
 
-    # gauge + regularization priors (replicated arithmetic)
-    prior = jnp.concatenate([jnp.full(6, 1e6), jnp.full(6 * (m - 1), 1e-4)])
-    S = S + jnp.diag(prior)
+    # gauge by ELIMINATION: pose 0's rows/cols zeroed, unit diagonal —
+    # not a huge prior (see module docstring); Marquardt-scaled damping
+    free = jnp.arange(6 * m) >= 6
+    keep = free[:, None] & free[None, :]
+    S = jnp.where(keep, S, 0.0)
+    g_s = jnp.where(free, g_s, 0.0)
+    dS = jnp.diag(S)
+    damp = jnp.where(free & (dS > 0.0), lam * dS + 1e-6, 1.0)
+    S = S + jnp.diag(damp)
     delta_p = jnp.linalg.solve(S, g_s)                     # (6M,)
+    delta_p = jnp.where(free, delta_p, 0.0)
 
     # back-substitute the local landmark shard: dl = Hll^-1 (g_l - W^T dp)
     Wtd = jnp.einsum("lia,i->la", W, delta_p)
@@ -96,10 +114,46 @@ def _schur_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w,
     return delta_p.reshape(m, 6), delta_l
 
 
-def ba_step_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w, m, axis):
-    """One distributed GN/Schur step: returns (new poses, new local lms)."""
-    dp, dl = _schur_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w, m, axis)
-    return se3_exp(dp) @ poses, lms + dl
+def _ba_cost(poses, lms, obs_pose, obs_lm, obs_z, obs_w, axis):
+    """Total weighted squared residual (replicated when psum'd)."""
+    r, _, _ = _linearize(poses, lms, obs_pose, obs_lm, obs_z, obs_w)
+    c = jnp.sum(obs_w * jnp.sum(r * r, -1))
+    if axis is not None:
+        c = jax.lax.psum(c, axis)
+    return c
+
+
+def ba_step_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w, m, axis, lam):
+    """One damped, accept/reject GN-Schur step.
+
+    Returns (poses, lms, lam) — the step is taken only if the global
+    cost decreases (evaluated replicated, so every shard agrees)."""
+    dp, dl = _schur_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w,
+                          m, axis, lam)
+    new_poses = se3_exp(dp) @ poses
+    new_lms = lms + dl
+    c0 = _ba_cost(poses, lms, obs_pose, obs_lm, obs_z, obs_w, axis)
+    c1 = _ba_cost(new_poses, new_lms, obs_pose, obs_lm, obs_z, obs_w, axis)
+    ok = jnp.isfinite(c1) & (c1 < c0)
+    poses = jnp.where(ok, new_poses, poses)
+    lms = jnp.where(ok, new_lms, lms)
+    lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 8.0), 1e-6, 1e4)
+    return poses, lms, lam
+
+
+def _ba_loop(poses, lms, obs_pose, obs_lm, obs_z, obs_w, m, axis, iters):
+    def body(_, carry):
+        poses, lms, lam = carry
+        return ba_step_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w,
+                             m, axis, lam)
+
+    # normal-equation assembly and the solve need full f32 (TPU's default
+    # matmul precision truncates to bf16 — measured to stall LM descent
+    # in the pose-graph solver; pose_graph.py:body)
+    with jax.default_matmul_precision("highest"):
+        poses, lms, _ = jax.lax.fori_loop(
+            0, iters, body, (poses, lms, jnp.float32(1e-4)))
+    return poses, lms
 
 
 def make_ba_solver(mesh: Mesh, m: int, iters: int = 5, axis: str = "blocks"):
@@ -108,11 +162,8 @@ def make_ba_solver(mesh: Mesh, m: int, iters: int = 5, axis: str = "blocks"):
     shard; padding rows carry obs_w = 0."""
 
     def local(poses, lms, obs_pose, obs_lm, obs_z, obs_w):
-        def body(_, carry):
-            poses, lms = carry
-            return ba_step_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w, m, axis)
-
-        return jax.lax.fori_loop(0, iters, body, (poses, lms))
+        return _ba_loop(poses, lms, obs_pose, obs_lm, obs_z, obs_w,
+                        m, axis, iters)
 
     fn = jax.shard_map(
         local,
@@ -127,9 +178,4 @@ def make_ba_solver(mesh: Mesh, m: int, iters: int = 5, axis: str = "blocks"):
 def ba_solve_single(poses, lms, obs_pose, obs_lm, obs_z, obs_w, iters: int = 5):
     """Single-device reference (tests compare the mesh solve against this)."""
     m = poses.shape[0]
-
-    def body(_, carry):
-        poses, lms = carry
-        return ba_step_local(poses, lms, obs_pose, obs_lm, obs_z, obs_w, m, None)
-
-    return jax.lax.fori_loop(0, iters, body, (poses, lms))
+    return _ba_loop(poses, lms, obs_pose, obs_lm, obs_z, obs_w, m, None, iters)

@@ -1,87 +1,87 @@
-"""Voxel-hash NN kernel equivalence vs brute force (SURVEY.md §4.2)."""
+"""Correspondence engine exactness vs numpy brute force (SURVEY.md §4.2).
+
+The MXU brute-force engine (corr/bruteforce.py) is the semantic ground
+truth for every faster path: the dense class-sorted kernel and the
+Morton block-sparse kernel are tested against it in test_pallas.py;
+here the engine itself is pinned against an O(N^2) numpy oracle, and
+the Morton tiling utilities are pinned against their invariants.
+"""
 
 import jax.numpy as jnp
 import numpy as np
 
-from semicp.cloud import make_cloud
-from semicp.corr import build_grid, query_knn, query_nn
+from semicp.corr.bruteforce import class_nn, knn_self
+from semicp.corr.morton import box_dist2, morton_order, tile_aabbs
 
 
-def brute_nn_per_class(pts, labels, q, qlab, max_dist):
-    """O(N^2) per-class nearest neighbor oracle."""
-    out_d2 = np.full(len(q), np.inf)
-    out_found = np.zeros(len(q), bool)
-    for i in range(len(q)):
-        mask = labels == qlab[i]
-        if not mask.any():
+def test_class_nn_matches_numpy(rng):
+    N, K = 1024, 5
+    pts = (rng.normal(size=(N, 3)) * np.array([15, 15, 2])).astype(np.float32)
+    labels = rng.integers(0, K, size=N).astype(np.int32)
+    valid = rng.uniform(size=N) > 0.1
+    q = (pts[:256] + rng.normal(size=(256, 3)) * 0.4).astype(np.float32)
+
+    idx, d2 = class_nn(jnp.asarray(pts.T), jnp.asarray(labels),
+                       jnp.asarray(valid), jnp.asarray(q.T), num_classes=K)
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    for k in range(K):
+        m = (labels == k) & valid
+        if not m.any():
+            assert (d2[k, :] > 1e30).all()
             continue
-        d2 = np.sum((pts[mask] - q[i]) ** 2, -1)
-        m = d2.min()
-        if m <= max_dist**2:
-            out_d2[i] = m
-            out_found[i] = True
-    return out_d2, out_found
+        bf = np.sum((pts[m][None] - q[:, None]) ** 2, -1)  # (Q, n_k)
+        np.testing.assert_allclose(d2[k], bf.min(1), rtol=1e-4, atol=1e-3)
+        assert (labels[idx[k]] == k).all()
 
 
-def test_nn_exact_within_contract(rng):
-    pts = (rng.normal(size=(1500, 3)) * np.array([15, 15, 2])).astype(np.float32)
-    labels = rng.integers(0, 6, size=1500).astype(np.int32)
-    tgt = make_cloud(pts, labels, n_pad=2048)
-    grid = build_grid(tgt, cell=2.0)
-    q = (pts[:400] + rng.normal(size=(400, 3)) * 0.4).astype(np.float32)
-    qlab = labels[:400]
-    idx, d2, found = query_nn(grid, jnp.asarray(q.T), jnp.asarray(qlab), max_dist=2.0)
-    bf_d2, bf_found = brute_nn_per_class(pts, labels, q, qlab, 2.0)
-    np.testing.assert_array_equal(np.asarray(found), bf_found)
-    np.testing.assert_allclose(np.asarray(d2)[bf_found], bf_d2[bf_found], rtol=1e-5)
-    # returned indices point at same-label points
-    gl = np.asarray(grid.label)
-    assert (gl[np.asarray(idx)[bf_found]] == qlab[bf_found]).all()
-
-
-def test_nn_class_agnostic(rng):
-    pts = rng.normal(size=(800, 3)).astype(np.float32) * 5
-    tgt = make_cloud(pts, None, n_pad=1024)
-    grid = build_grid(tgt, cell=1.5, class_aware=False)
-    q = (pts[:200] + rng.normal(size=(200, 3)) * 0.2).astype(np.float32)
-    idx, d2, found = query_nn(grid, jnp.asarray(q.T), jnp.zeros(200, jnp.int32), max_dist=1.5)
-    for i in range(200):
-        bf = np.sum((pts - q[i]) ** 2, -1).min()
-        if bf <= 1.5**2:
-            assert found[i] and abs(float(d2[i]) - bf) < 1e-4
-        else:
-            assert not found[i]
-
-
-def test_knn_matches_brute(rng):
-    pts = rng.normal(size=(600, 3)).astype(np.float32) * 3
-    labels = np.zeros(600, np.int32)
-    tgt = make_cloud(pts, labels, n_pad=1024)
-    grid = build_grid(tgt, cell=2.0)
-    q = pts[:50]
-    k = 10
-    idx, d2, valid = query_knn(grid, jnp.asarray(q.T), jnp.zeros(50, jnp.int32), k=k, bucket_cap=64)
+def test_knn_self_matches_numpy(rng):
+    N, k = 512, 8
+    pts = rng.normal(size=(N, 3)).astype(np.float32) * 5
+    labels = np.zeros(N, np.int32)
+    valid = np.ones(N, bool)
+    idx, d2, nv = knn_self(jnp.asarray(pts.T), jnp.asarray(labels),
+                           jnp.asarray(valid), k=k)
     d2 = np.asarray(d2)
-    for i in range(50):
-        bf = np.sort(np.sum((pts - q[i]) ** 2, -1))[:k]
-        # contract: exact as long as all k lie within one cell radius
-        if bf[-1] <= 2.0**2:
-            got = np.sort(d2[i])
-            np.testing.assert_allclose(got, bf, rtol=1e-4, atol=1e-5)
+    for i in range(0, N, 37):
+        bf = np.sort(np.sum((pts - pts[i]) ** 2, -1))[:k]
+        np.testing.assert_allclose(np.sort(d2[i]), bf, rtol=1e-4, atol=1e-4)
 
 
-def test_padding_never_matches(rng):
-    pts = rng.normal(size=(10, 3)).astype(np.float32)
-    tgt = make_cloud(pts, None, n_pad=64)
-    grid = build_grid(tgt, cell=2.0, class_aware=False)
-    q = rng.normal(size=(30, 3)).astype(np.float32) * 100  # far from data
-    idx, d2, found = query_nn(grid, jnp.asarray(q.T), jnp.zeros(30, jnp.int32), max_dist=2.0)
-    assert not np.asarray(found).any()
+def test_morton_order_locality(rng):
+    """Morton-sorted tiles must cover compact regions: the mean per-tile
+    AABB diagonal is far below the scene diagonal."""
+    N = 4096
+    pts = rng.uniform(-20, 20, size=(3, N)).astype(np.float32)
+    valid = np.ones(N, bool)
+    order = np.asarray(morton_order(jnp.asarray(pts), jnp.asarray(valid), 1.0))
+    srt = pts[:, order]
+
+    def mean_diag(arr):
+        lo, hi = tile_aabbs(jnp.asarray(arr), jnp.asarray(valid), 256)
+        return np.linalg.norm(np.asarray(hi) - np.asarray(lo), axis=1).mean()
+
+    # vs the unsorted (scan-order-random) layout, where every tile spans
+    # nearly the whole scene
+    assert mean_diag(srt) < 0.8 * mean_diag(pts)
 
 
-def test_empty_target(rng):
-    tgt = make_cloud(np.zeros((0, 3), np.float32), np.zeros(0, np.int32), n_pad=32)
-    grid = build_grid(tgt, cell=2.0)
-    q = rng.normal(size=(5, 3)).astype(np.float32)
-    _, _, found = query_nn(grid, jnp.asarray(q.T), jnp.zeros(5, jnp.int32), max_dist=2.0)
-    assert not np.asarray(found).any()
+def test_morton_invalid_sorts_last(rng):
+    N = 1024
+    pts = rng.normal(size=(3, N)).astype(np.float32)
+    valid = np.arange(N) % 3 != 0
+    order = np.asarray(morton_order(jnp.asarray(pts), jnp.asarray(valid), 1.0))
+    v_sorted = valid[order]
+    n_valid = valid.sum()
+    assert v_sorted[:n_valid].all() and not v_sorted[n_valid:].any()
+
+
+def test_box_dist2_lower_bounds_point_dist(rng):
+    """The pruning invariant: box distance lower-bounds any point pair."""
+    a = rng.uniform(-5, 5, size=(64, 3)).astype(np.float32)
+    b = rng.uniform(-5, 5, size=(64, 3)).astype(np.float32)
+    qlo, qhi = a - 0.5, a + 0.5
+    tlo, thi = b - 0.5, b + 0.5
+    bd2 = np.asarray(box_dist2(jnp.asarray(qlo), jnp.asarray(qhi),
+                               jnp.asarray(tlo), jnp.asarray(thi)))
+    pd2 = np.sum((a[:, None] - b[None]) ** 2, -1)
+    assert (bd2 <= pd2 + 1e-4).all()

@@ -70,7 +70,7 @@ def test_matches_oracle_covariances(rng):
     xyz, lab = make_scene(rng, n_points=2000, extent=10.0)
     lab = lab - 1
     c = make_cloud(xyz, lab, n_pad=2048)
-    cfg = CovConfig(method="knn", k=20, cell=1.5, max_candidates=64)
+    cfg = CovConfig(method="knn", k=20)
     c = preprocess_cloud(c, cfg)
     got = cov_matrices(c, 2000).astype(np.float64)
     ref = estimate_covariances_np(

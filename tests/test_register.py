@@ -46,14 +46,35 @@ def test_align_recovers_gt(pair):
     assert terr < 0.02 and rerr < 0.005, (terr, rerr)
 
 
-def test_align_parity_with_oracle(pair):
+def test_align_parity_with_oracle_radius(pair):
+    """Like-for-like radius-covariance parity: a FIXED radius on both
+    sides (radius=0 on the TPU path means density-adaptive, which the
+    oracle does not model — passing it through made the oracle compute
+    all-identity covariances and the old test vacuous)."""
     src, slab, tgt, tlab, T_gt = pair
-    cfg = make_test_cfg()
+    radius = 0.6
+    cfg = make_test_cfg(**{"cov.radius": radius})
     res = align(prep(cfg, src, slab), prep(cfg, tgt, tlab), cfg)
-    # like-for-like: oracle uses the same radius-covariance semantics
+    p = OracleParams(cov_method="radius", cov_radius=radius)
+    from semicp.oracle import estimate_covariances_np
+
+    tgt_cov = estimate_covariances_np(tgt.astype(np.float64), tlab, p)
+    # guard against the degenerate all-identity oracle covariances
+    assert np.abs(tgt_cov - np.eye(3)).max() > 0.3
+    T_o, info = semantic_icp_np(src, slab, tgt, tlab, p)
+    assert info["converged"]
+    terr, rerr = pose_errors(res.T, T_o)
+    assert terr < 5e-3 and rerr < 2e-3, (terr, rerr)
+
+
+def test_align_parity_with_oracle_knn(pair):
+    """Reference-semantics anchor: kNN covariances on both sides
+    (the reference's k~20 FLANN neighborhoods, SURVEY.md §2.2 step 1)."""
+    src, slab, tgt, tlab, T_gt = pair
+    cfg = make_test_cfg(**{"cov.method": "knn"})
+    res = align(prep(cfg, src, slab), prep(cfg, tgt, tlab), cfg)
     T_o, info = semantic_icp_np(
-        src, slab, tgt, tlab,
-        OracleParams(cov_method=cfg.cov.method, cov_radius=cfg.cov.radius))
+        src, slab, tgt, tlab, OracleParams(cov_method="knn", cov_k=cfg.cov.k))
     assert info["converged"]
     terr, rerr = pose_errors(res.T, T_o)
     assert terr < 5e-3 and rerr < 2e-3, (terr, rerr)
