@@ -42,6 +42,12 @@ class Cloud:
     cov6: jnp.ndarray
     valid: jnp.ndarray
     count: jnp.ndarray
+    # static (non-pytree) layout tag: "raw" or "cm" (class-major +
+    # Morton-within-class, invalid last — semicp.corr.layout). The cm
+    # layout is established once at preprocess time and lets align/cov
+    # kernels skip their own sorts; any permutation not via
+    # corr.layout.sort_cloud_cm must reset it to "raw".
+    layout: str = struct.field(pytree_node=False, default="raw")
 
     @property
     def n_pad(self) -> int:

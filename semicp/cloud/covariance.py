@@ -29,15 +29,18 @@ from semicp.geom import sym3
 
 
 def estimate_covariances(
-    cloud: Cloud, cfg: CovConfig, class_aware: bool = True
+    cloud: Cloud, cfg: CovConfig, class_aware: bool = True,
+    num_classes: int | None = None,
 ) -> jnp.ndarray:
     """Return (6, N_pad) regularized covariance planes for valid points.
 
     Points with < 3 valid neighbors get the identity — the branchless
     analogue of the reference's skip. Method selection: see CovConfig.
+    `num_classes` enables the block-sparse moments kernel on cm-sorted
+    clouds (corr.layout).
     """
     if cfg.method == "radius":
-        return _estimate_radius(cloud, cfg, class_aware)
+        return _estimate_radius(cloud, cfg, class_aware, num_classes)
     return _estimate_knn(cloud, cfg, class_aware)
 
 
@@ -75,7 +78,8 @@ def estimate_radius(xyz, label, valid, k: int = 20, class_aware: bool = True,
     return scale * jnp.where(jnp.isnan(r), 1.0, r)
 
 
-def _estimate_radius(cloud: Cloud, cfg: CovConfig, class_aware: bool) -> jnp.ndarray:
+def _estimate_radius(cloud: Cloud, cfg: CovConfig, class_aware: bool,
+                     num_classes: int | None = None) -> jnp.ndarray:
     from semicp.cloud.pallas_cov import neighborhood_moments_auto
 
     label = jnp.maximum(cloud.label, 0) if class_aware else jnp.zeros_like(cloud.label)
@@ -84,7 +88,11 @@ def _estimate_radius(cloud: Cloud, cfg: CovConfig, class_aware: bool) -> jnp.nda
     else:  # radius=0 -> auto: match the reference's k-NN density adaptivity
         radius = estimate_radius(cloud.xyz, label, cloud.valid,
                                  k=cfg.k, class_aware=class_aware)
-    mom = neighborhood_moments_auto(cloud.xyz, label, cloud.valid, radius)
+    mom = neighborhood_moments_auto(
+        cloud.xyz, label, cloud.valid, radius,
+        num_classes=num_classes,
+        layout=cloud.layout if class_aware else "raw",
+    )
     cnt = mom[0]
     safe = jnp.maximum(cnt, 1.0)
     mx, my, mz = mom[1] / safe, mom[2] / safe, mom[3] / safe
@@ -138,6 +146,23 @@ def _estimate_knn(cloud: Cloud, cfg: CovConfig, class_aware: bool) -> jnp.ndarra
     return sym3.pack(out)
 
 
-def preprocess_cloud(cloud: Cloud, cfg: CovConfig, class_aware: bool = True) -> Cloud:
-    """Fill `cloud.cov6` with GICP-regularized covariances (jit-able)."""
-    return cloud.replace(cov6=estimate_covariances(cloud, cfg, class_aware))
+def preprocess_cloud(cloud: Cloud, cfg, class_aware: bool = True) -> Cloud:
+    """Fill `cloud.cov6` with GICP-regularized covariances (jit-able).
+
+    With a full `Config`, the cloud is first put in canonical
+    class-major Morton layout (corr.layout.sort_cloud_cm) — ONE sort
+    shared by the block-sparse covariance kernel here and the
+    block-sparse NN kernel inside align (which then skips its own
+    sorts). With a bare `CovConfig` (legacy callers, batched vmap
+    paths), layout is left untouched and the dense kernels run.
+    """
+    num_classes = None
+    if hasattr(cfg, "cov"):                  # full Config
+        from semicp.corr.layout import sort_cloud_cm
+
+        if cloud.layout != "cm":
+            cloud = sort_cloud_cm(cloud, cfg.cloud.num_classes, cfg.corr.cell)
+        num_classes = cfg.cloud.num_classes
+        cfg = cfg.cov
+    return cloud.replace(cov6=estimate_covariances(cloud, cfg, class_aware,
+                                                   num_classes=num_classes))

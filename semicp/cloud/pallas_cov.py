@@ -138,7 +138,129 @@ def neighborhood_moments_xla(xyz, label, valid, radius, qb: int = 512):
     return jnp.moveaxis(out, 1, 0).reshape(NMOM, n)
 
 
-def neighborhood_moments_auto(xyz, label, valid, radius):
+def _sparse_kernel(cand_ref, count_ref, ctr_ref, r2_ref,
+                   qxyz, qlab, txyz, tlab, out_ref, acc, *, qb, tb):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(j < count_ref[i])
+    def _():
+        # Center both tiles on the query tile's AABB midpoint: moments
+        # of centered coordinates keep Sxx ~ O(r^2) instead of O(40m^2),
+        # so the f32 cov epilogue (S2/n - mean^2) loses no digits to
+        # cancellation. Covariance is translation-invariant, so the
+        # epilogue needs no un-centering.
+        cx, cy, cz = ctr_ref[i, 0], ctr_ref[i, 1], ctr_ref[i, 2]
+        qx, qy, qz = qxyz[0, :] - cx, qxyz[1, :] - cy, qxyz[2, :] - cz
+        tx, ty, tz = txyz[0, :] - cx, txyz[1, :] - cy, txyz[2, :] - cz
+        q2 = qx * qx + qy * qy + qz * qz               # (qb,)
+        t2 = tx * tx + ty * ty + tz * tz               # (tb,)
+        d2 = (q2[:, None] + t2[None, :]
+              - 2.0 * qx[:, None] * tx[None, :]
+              - 2.0 * qy[:, None] * ty[None, :]
+              - 2.0 * qz[:, None] * tz[None, :])       # (qb, tb)
+        w = ((d2 < r2_ref[0]) &
+             (qlab[0, :][:, None] == tlab[0, :][None, :])).astype(jnp.float32)
+        feats = jnp.concatenate([
+            jnp.ones((1, tx.shape[0]), jnp.float32),
+            tx[None], ty[None], tz[None],
+            (tx * tx)[None], (ty * ty)[None], (tz * tz)[None],
+            (tx * ty)[None], (tx * tz)[None], (ty * tz)[None],
+        ], axis=0)                                     # (10, tb)
+        acc[:] += jax.lax.dot_general(
+            feats, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                              # (10, qb) on the MXU
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = acc[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "qb", "tb", "n_cap",
+                                    "interpret"))
+def neighborhood_moments_sparse(xyz, label, valid, radius, num_classes: int,
+                                qb: int = QB, tb: int = 512, n_cap: int = 16,
+                                interpret: bool = False):
+    """Block-sparse masked neighborhood moments over a cm-sorted cloud.
+
+    Requires canonical class-major Morton layout (corr.layout) so tile
+    AABB + class-range pruning applies: candidate target tiles per query
+    tile are the same-class tiles within `radius` (measured ~2-4 at
+    KITTI density vs a 371 ms dense sweep of all of them). The grid's
+    second dim is the static cap `n_cap`, nearest-box-first; overflow
+    beyond it drops the FARTHEST tiles only (geometrically implausible
+    at sane densities — would need > n_cap*tb same-class points within
+    `radius` of one query tile).
+
+    Returns (10, N) moments of per-query-tile CENTERED coordinates —
+    identical covariances through the standard epilogue (translation
+    invariance), NOT bitwise-equal raw moments.
+    """
+    from semicp.corr.layout import tile_meta, tile_candidates
+    from semicp.corr.morton import tile_aabbs
+
+    n = xyz.shape[1]
+    qb = min(qb, n)
+    tb = min(tb, n)
+    assert n % qb == 0 and n % tb == 0, (
+        f"moments_sparse: N={n} must be a multiple of qb={qb} and tb={tb}")
+
+    qmeta = tile_meta(xyz, label, valid, num_classes, qb)
+    tmeta = tile_meta(xyz, label, valid, num_classes, tb)
+    cand, count, _ = tile_candidates(
+        qmeta["lo"], qmeta["hi"], tmeta["lo"], tmeta["hi"], radius,
+        n_cap=n_cap,
+        q_range=(qmeta["cmin"], qmeta["cmax"]),
+        t_range=(tmeta["cmin"], tmeta["cmax"]),
+    )
+    ctr = 0.5 * (qmeta["lo"] + qmeta["hi"])
+    ctr = jnp.where(jnp.isfinite(ctr), ctr, 0.0)       # all-invalid tiles
+    r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
+
+    tlab = jnp.where(valid, label, -1).astype(jnp.int32)
+    qlab = jnp.where(valid, label, -2).astype(jnp.int32)
+
+    grid = (n // qb, cand.shape[1])
+    qspec = pl.BlockSpec((3, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
+    qlspec = pl.BlockSpec((1, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((3, tb), lambda i, j, cand, count, ctr, r2: (0, cand[i, j]),
+                         memory_space=pltpu.VMEM)
+    tlspec = pl.BlockSpec((1, tb), lambda i, j, cand, count, ctr, r2: (0, cand[i, j]),
+                          memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[qspec, qlspec, tspec, tlspec],
+        out_specs=pl.BlockSpec((NMOM, qb), lambda i, j, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((NMOM, qb), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_sparse_kernel, qb=qb, tb=tb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NMOM, n), jnp.float32),
+        interpret=interpret,
+    )(cand, count, ctr, r2, xyz, qlab[None], xyz, tlab[None])
+    return out
+
+
+def neighborhood_moments_auto(xyz, label, valid, radius, num_classes=None,
+                              layout: str = "raw"):
+    """Dispatch: block-sparse kernel on cm-sorted clouds (TPU), dense
+    Pallas otherwise; XLA fallback on CPU."""
     if jax.default_backend() == "cpu":
         return neighborhood_moments_xla(xyz, label, valid, radius)
+    if layout == "cm" and num_classes is not None:
+        return neighborhood_moments_sparse(xyz, label, valid, radius,
+                                           num_classes)
     return neighborhood_moments_pallas(xyz, label, valid, radius)

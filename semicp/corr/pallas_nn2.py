@@ -36,7 +36,9 @@ INF = 3.0e37
 
 QB = 256
 TB = 1024
-NATTR = 16  # x, y, z, cov6(6), 7 spare — fixed row count for MXU-friendly layout
+NATTR = 16   # x, y, z, cov6(6), ones, 6 spare — fixed row count for MXU layout
+ROW_CNT = 9  # all-ones attr row: winner count under value-equality one-hot
+             # (normalizes exact ties in the sparse kernel; 1.0 = found)
 
 
 def _kernel(cmin_ref, cmax_ref, qx, qy, qz, q2, tx, ty, tz, t2, tlab, attrs,
@@ -163,82 +165,42 @@ def sort_cloud_by_class(xyz, label, cov6, valid, num_classes: int):
     cov6_s = jnp.take(cov6, order, axis=1)
     label_s = jnp.take(key, order).astype(jnp.int32)
     n = xyz.shape[1]
-    pad = jnp.zeros((NATTR - 9, n), jnp.float32)
-    attrs16 = jnp.concatenate([xyz_s, cov6_s, pad], axis=0)
+    ones = jnp.ones((1, n), jnp.float32)
+    pad = jnp.zeros((NATTR - 10, n), jnp.float32)
+    attrs16 = jnp.concatenate([xyz_s, cov6_s, ones, pad], axis=0)
     return xyz_s, label_s, attrs16
 
 
-def sort_cloud_spatial(xyz, label, cov6, valid, num_classes: int, cell: float,
-                       tb: int = TB) -> dict:
-    """Morton-sort the target and precompute tile metadata (once per align).
+def prepare_sparse(cloud, num_classes: int, cell: float, tb: int = TB) -> dict:
+    """Loop-invariant prep of a cm-sorted target for the sparse kernel.
 
-    Returns the loop-invariant prep for `class_nn_attrs_sparse`:
-      xyz_s (3,N), label_s (N,) (invalid = num_classes), attrs16 (16,N)
-      — all in Morton order, invalid points last —
-      tlo/thi (n_tt,3) exact per-tile AABBs over valid points, and
-      clsmask (n_tt,) int32 bitmask of classes present in each tile.
-
-    num_classes must be <= 30 (bitmask in a signed int32).
+    The cloud must already be in canonical class-major Morton layout
+    (corr.layout.sort_cloud_cm — applied once at preprocess time; this
+    function sorts only if handed a raw cloud). Returns xyz_s (3,N),
+    label_s (N,) int32 (invalid = num_classes), attrs16 (16,N), and the
+    per-tile metadata lo/hi (n_tt,3) + cmin/cmax (n_tt,).
     """
-    assert num_classes <= 30, "class bitmask uses an int32"
-    n_pts = xyz.shape[1]
-    tb_eff = min(tb, n_pts)
-    assert n_pts % tb_eff == 0, (
-        f"sort_cloud_spatial: N={n_pts} must be a multiple of the target "
-        f"tile tb={tb_eff} (pad the cloud to a power of two >= {tb_eff})")
-    from semicp.corr.morton import morton_order, tile_aabbs
+    from semicp.corr.layout import LAYOUT_CM, sort_cloud_cm, tile_meta
 
-    order = morton_order(xyz, valid, cell)
-    xyz_s = jnp.take(xyz, order, axis=1)
-    cov6_s = jnp.take(cov6, order, axis=1)
-    valid_s = jnp.take(valid, order)
-    label_s = jnp.where(valid_s, jnp.maximum(jnp.take(label, order), 0),
-                        num_classes).astype(jnp.int32)
-    n = xyz.shape[1]
-    pad = jnp.zeros((NATTR - 9, n), jnp.float32)
-    attrs16 = jnp.concatenate([xyz_s, cov6_s, pad], axis=0)
-
+    if cloud.layout != LAYOUT_CM:
+        cloud = sort_cloud_cm(cloud, num_classes, cell)
+    n = cloud.n_pad
     tb = min(tb, n)
-    tlo, thi = tile_aabbs(xyz_s, valid_s, tb)
-    lab_t = label_s.reshape(-1, tb)                                # (n_tt, tb)
-    ks = jnp.arange(num_classes, dtype=jnp.int32)
-    present = jnp.any(lab_t[:, None, :] == ks[None, :, None], axis=2)
-    clsmask = jnp.sum(present.astype(jnp.int32) << ks[None, :], axis=1)
-    return {
-        "xyz_s": xyz_s, "label_s": label_s, "attrs16": attrs16,
-        "tlo": tlo, "thi": thi, "clsmask": clsmask,
-    }
+    assert n % tb == 0, (
+        f"prepare_sparse: N={n} must be a multiple of the target tile "
+        f"tb={tb} (pad the cloud to a power of two >= {tb})")
+    label_s = jnp.where(cloud.valid, jnp.maximum(cloud.label, 0),
+                        num_classes).astype(jnp.int32)
+    ones = jnp.ones((1, n), jnp.float32)
+    pad = jnp.zeros((NATTR - 10, n), jnp.float32)
+    attrs16 = jnp.concatenate([cloud.xyz, cloud.cov6, ones, pad], axis=0)
+    meta = tile_meta(cloud.xyz, cloud.label, cloud.valid, num_classes, tb)
+    return {"xyz_s": cloud.xyz, "label_s": label_s, "attrs16": attrs16, **meta}
 
 
-def build_tile_candidates(q_xyz, q_valid, tlo, thi, gate: float, qb: int = QB):
-    """Per-query-tile candidate target-tile lists under the gate.
-
-    Exactness invariant: box_dist2(query tile, target tile) lower-bounds
-    every point-pair distance between them, so a tile beyond the gate
-    cannot contain any correspondence the E-step would accept — pruning
-    it changes nothing (SURVEY.md §7 hard part #1, restated for tiles).
-
-    Returns (cand (n_qt, n_tt) int32 — real candidates first, tail
-    repeating the last real one so the pipeline re-fetches no new block —
-    and count (n_qt,) int32).
-    """
-    from semicp.corr.morton import box_dist2, tile_aabbs
-
-    qlo, qhi = tile_aabbs(q_xyz, q_valid, qb)
-    bd2 = box_dist2(qlo, qhi, tlo, thi)                            # (n_qt, n_tt)
-    gate2 = gate * gate * (1.0 + 1e-5) + 1e-6
-    mask = bd2 <= gate2
-    count = jnp.sum(mask, axis=1).astype(jnp.int32)
-    order = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
-    last = jnp.take_along_axis(order, jnp.maximum(count - 1, 0)[:, None], axis=1)
-    n_tt = tlo.shape[0]
-    cand = jnp.where(jnp.arange(n_tt)[None, :] < count[:, None], order, last)
-    return cand, count
-
-
-def _sparse_kernel(cand_ref, count_ref, clsmask_ref,
-                   qx, qy, qz, q2, tx, ty, tz, t2, tlab, attrs,
-                   out_d2, out_attr, acc_d2, acc_attr, *, num_classes, qb, tb):
+def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
+                   qxyz, q2, txyz, t2, tlab, attrs,
+                   out_d2, out_attr, acc_d2, acc_attr, *, qb, tb):
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -249,34 +211,45 @@ def _sparse_kernel(cand_ref, count_ref, clsmask_ref,
         acc_attr[:] = jnp.zeros_like(acc_attr)
 
     tid = cand_ref[i, j]
-    cm = clsmask_ref[tid]
 
     @pl.when(j < count_ref[i])
     def _():
-        vqx, vqy, vqz, vq2 = qx[0, :], qy[0, :], qz[0, :], q2[0, :]
-        vtx, vty, vtz, vt2 = tx[0, :], ty[0, :], tz[0, :], t2[0, :]
-        d2 = (vq2[:, None] + vt2[None, :]
+        vqx, vqy, vqz = qxyz[0, :], qxyz[1, :], qxyz[2, :]
+        vtx, vty, vtz = txyz[0, :], txyz[1, :], txyz[2, :]
+        d2 = (q2[0, :][:, None] + t2[0, :][None, :]
               - 2.0 * vqx[:, None] * vtx[None, :]
               - 2.0 * vqy[:, None] * vty[None, :]
               - 2.0 * vqz[:, None] * vtz[None, :])     # (qb, tb)
         lab = tlab[0, :][None, :]
-        col = jax.lax.broadcasted_iota(jnp.int32, (qb, tb), 1)
 
-        for k in range(num_classes):                   # static unroll, predicated
-            @pl.when(((cm >> k) & 1) == 1)
-            def _(k=k):
-                dk = jnp.where(lab == k, d2, INF)
-                m = jnp.min(dk, axis=1)
-                a = jnp.argmin(dk, axis=1)
-                onehot = (col == a[:, None]).astype(jnp.float32)
-                sel = jax.lax.dot_general(
-                    attrs[:, :], onehot,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # (NATTR, qb)
-                better = m < acc_d2[k, :]
-                acc_d2[k, :] = jnp.where(better, m, acc_d2[k, :])
-                acc_attr[k] = jnp.where(better[None, :], sel, acc_attr[k])
+        # Class-major sort makes a tile's classes the contiguous range
+        # [cmin, cmax] (usually one class) — a DYNAMIC loop over that
+        # range replaces the v2 kernel's K-wide static unroll, so cost
+        # and compile time are independent of the class count.
+        def class_pass(k, carry):
+            dk = jnp.where(lab == k, d2, INF)
+            m = jnp.min(dk, axis=1)                    # (qb,) exact f32 min
+            # winner one-hot by VALUE equality (no argmin — its Mosaic
+            # lowering measured ~29 us/pass); exact ties average via the
+            # all-ones attr row (ROW_CNT) used as the normalizer
+            onehot = ((dk == m[:, None]) & (dk < INF)).astype(jnp.float32)
+            sel = jax.lax.dot_general(
+                attrs[:, :], onehot,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # (NATTR, qb)
+            sel = sel * (1.0 / jnp.maximum(sel[ROW_CNT, :], 1.0))[None, :]
+            prev = acc_d2[pl.ds(k, 1), :]                           # (1, qb)
+            better = m[None, :] < prev
+            acc_d2[pl.ds(k, 1), :] = jnp.where(better, m[None, :], prev)
+            preva = acc_attr[pl.ds(k, 1), :, :]                     # (1,16,qb)
+            acc_attr[pl.ds(k, 1), :, :] = jnp.where(
+                better[:, None, :], sel[None], preva)
+            return carry
+
+        kmin = cmin_ref[tid]
+        kmax = cmax_ref[tid]
+        jax.lax.fori_loop(kmin, kmax + 1, class_pass, 0)
 
     @pl.when(j == nj - 1)
     def _():
@@ -288,45 +261,53 @@ def _sparse_kernel(cand_ref, count_ref, clsmask_ref,
                    static_argnames=("num_classes", "gate", "qb", "interpret"))
 def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
                           gate: float, qb: int = QB, interpret: bool = False):
-    """Block-sparse per-class NN: Morton tiles + AABB-gate pruning.
+    """Block-sparse per-class NN: class-major Morton tiles + AABB pruning.
 
     Same contract as `class_nn_attrs_pallas` for every correspondence
     within `gate` of its query (beyond the gate both report INF-or-
     rejected; the E-step gates there anyway). prep comes from
-    `sort_cloud_spatial`. Skipped tiles cost ~15 ns of grid overhead and
-    no DMA (measured), so the kernel is O(N * tiles-in-gate), not O(N^2).
+    `prepare_sparse`. Queries should be cm/Morton-sorted so query tiles
+    cover compact regions (what makes AABB pruning bite); exactness does
+    not depend on it. Replaces the reference's per-class kd-tree query
+    (SURVEY.md §2.1 "Per-class kd-tree NN search") with an
+    O(N * tiles-in-gate) data-layout kernel.
     """
+    from semicp.corr.layout import tile_candidates
+    from semicp.corr.morton import tile_aabbs
+
     n = prep["xyz_s"].shape[1]
     q = q_xyz.shape[1]
     qb = min(qb, q)
     assert q % qb == 0, (
         f"class_nn_attrs_sparse: Q={q} must be a multiple of the query "
         f"block qb={qb} (pad queries to a power of two >= {qb})")
-    tb = n // prep["tlo"].shape[0]        # static: tile size from prep shapes
+    tb = n // prep["lo"].shape[0]         # static: tile size from prep shapes
     assert n % tb == 0, f"prep tile metadata inconsistent: N={n}, tb={tb}"
     K = num_classes
 
-    cand, count = build_tile_candidates(
-        q_xyz, q_valid, prep["tlo"], prep["thi"], gate, qb)
+    qlo, qhi = tile_aabbs(q_xyz, q_valid, qb)
+    cand, count, _ = tile_candidates(qlo, qhi, prep["lo"], prep["hi"], gate)
 
-    tx, ty, tz = prep["xyz_s"][0], prep["xyz_s"][1], prep["xyz_s"][2]
-    t2 = tx * tx + ty * ty + tz * tz
-    qx, qy, qz = q_xyz[0], q_xyz[1], q_xyz[2]
-    q2 = qx * qx + qy * qy + qz * qz
+    t2 = jnp.sum(prep["xyz_s"] * prep["xyz_s"], axis=0, keepdims=True)  # (1,N)
+    q2 = jnp.sum(q_xyz * q_xyz, axis=0, keepdims=True)                  # (1,Q)
 
     grid = (q // qb, n // tb)
-    qspec = pl.BlockSpec((1, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, tb),
-                         lambda i, j, cand, count, cm: (0, cand[i, j]),
+    qspec = pl.BlockSpec((3, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
+    q2spec = pl.BlockSpec((1, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((3, tb),
+                         lambda i, j, cand, count, cmin, cmax: (0, cand[i, j]),
                          memory_space=pltpu.VMEM)
+    t2spec = pl.BlockSpec((1, tb),
+                          lambda i, j, cand, count, cmin, cmax: (0, cand[i, j]),
+                          memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec((NATTR, tb),
-                         lambda i, j, cand, count, cm: (0, cand[i, j]),
+                         lambda i, j, cand, count, cmin, cmax: (0, cand[i, j]),
                          memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[qspec] * 4 + [tspec] * 5 + [aspec],
+        in_specs=[qspec, q2spec, tspec, t2spec, t2spec, aspec],
         out_specs=(
             pl.BlockSpec((K, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, NATTR, qb), lambda i, j, *_: (0, 0, i),
@@ -339,7 +320,7 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     )
 
     out_d2, out_attr = pl.pallas_call(
-        functools.partial(_sparse_kernel, num_classes=K, qb=qb, tb=tb),
+        functools.partial(_sparse_kernel, qb=qb, tb=tb),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((K, q), jnp.float32),
@@ -347,10 +328,9 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
         ),
         interpret=interpret,
     )(
-        cand, count, prep["clsmask"],
-        qx[None], qy[None], qz[None], q2[None],
-        tx[None], ty[None], tz[None], t2[None], prep["label_s"][None],
-        prep["attrs16"],
+        cand, count, prep["cmin"], prep["cmax"],
+        q_xyz, q2,
+        prep["xyz_s"], t2, prep["label_s"][None], prep["attrs16"],
     )
     return out_d2, out_attr
 
@@ -364,7 +344,8 @@ def class_nn_attrs_xla(tgt_xyz, tgt_label, tgt_valid, tgt_cov6, q_xyz, num_class
     n = tgt_xyz.shape[1]
     flat = jnp.concatenate(
         [tgt_xyz.reshape(-1), tgt_cov6.reshape(-1),
-         jnp.zeros(((NATTR - 9) * n,), jnp.float32)]
+         jnp.ones((n,), jnp.float32),
+         jnp.zeros(((NATTR - 10) * n,), jnp.float32)]
     )
     offs = jnp.arange(NATTR, dtype=jnp.int32)[None, :, None] * n
     attrs = jnp.take(flat, idx[:, None] + offs)        # (K, 16, Q)

@@ -28,14 +28,14 @@ from flax import struct
 
 from semicp.cloud.cloud import Cloud
 from semicp.config import Config
+from semicp.corr.layout import LAYOUT_CM, sort_cloud_cm
 from semicp.corr.pallas_nn2 import (
     class_nn_attrs_pallas,
     class_nn_attrs_sparse,
     class_nn_attrs_xla,
+    prepare_sparse,
     sort_cloud_by_class,
-    sort_cloud_spatial,
 )
-from semicp.corr.morton import morton_order
 from semicp.geom import sym3
 from semicp.geom.se3 import se3_inverse, se3_log
 from semicp.register.gauss_newton import apply_T_planar, gn_solve
@@ -84,8 +84,7 @@ def _prepare_target(tgt: Cloud, cfg: Config, engine: str) -> dict:
     if engine == "xla":
         return ("cloud", {"cloud": tgt})
     if engine == "sparse":
-        prep = sort_cloud_spatial(tgt.xyz, tgt.label, tgt.cov6, tgt.valid,
-                                  cfg.cloud.num_classes, cfg.corr.cell)
+        prep = prepare_sparse(tgt, cfg.cloud.num_classes, cfg.corr.cell)
         return ("sparse", prep)
     xyz_s, label_s, attrs16 = sort_cloud_by_class(
         tgt.xyz, tgt.label, tgt.cov6, tgt.valid, cfg.cloud.num_classes
@@ -160,10 +159,11 @@ def _align_scoped(src: Cloud, tgt: Cloud, T0, cfg: Config):
     # forced Pallas engines run interpret-mode on CPU (CI pins the full
     # sparse/dense EM path without a chip)
     interpret = jax.default_backend() == "cpu"
-    if engine == "sparse":
-        # Morton-sort the source once: query tiles then cover compact
-        # regions, which is what makes AABB tile pruning effective
-        src = _permute_cloud(src, morton_order(src.xyz, src.valid, cfg.corr.cell))
+    if engine == "sparse" and src.layout != LAYOUT_CM:
+        # canonical sort once: query tiles then cover compact regions,
+        # which is what makes AABB tile pruning effective (preprocessed
+        # clouds arrive already sorted and skip this)
+        src = sort_cloud_cm(src, cfg.cloud.num_classes, cfg.corr.cell)
     tgt_prep = _prepare_target(tgt, cfg, engine)
     log_sem = _log_sem(src, cfg)
     src_planes = tuple(src.xyz)

@@ -40,6 +40,72 @@ def test_moment_kernel_matches_xla(rng):
         assert abs(m_x[0, i] - mask.sum()) <= 1, (i, m_x[0, i], mask.sum())
 
 
+def test_sparse_moment_covariances_match_dense(rng):
+    """Block-sparse moments (cm layout, interpret) == XLA moments through
+    the covariance epilogue. Moments are compared at the COVARIANCE level
+    because the sparse kernel centers per query tile (documented contract)."""
+    import jax.numpy as jnp
+
+    from semicp.cloud.pallas_cov import (
+        neighborhood_moments_sparse, neighborhood_moments_xla,
+    )
+    from semicp.corr.layout import sort_cloud_cm
+
+    N, K = 1024, 5
+    xyz, lab = make_scene(rng, n_points=900, extent=8.0, n_classes=K)
+    c = sort_cloud_cm(make_cloud(xyz, lab - 1, n_pad=N), K, cell=1.0)
+    label = jnp.maximum(c.label, 0)
+    r = 0.9
+    m_x = np.asarray(neighborhood_moments_xla(c.xyz, label, c.valid, r))
+    m_s = np.asarray(neighborhood_moments_sparse(
+        c.xyz, label, c.valid, r, num_classes=K, qb=256, tb=256,
+        interpret=True))
+
+    def to_cov(m):
+        cnt = np.maximum(m[0], 1.0)
+        mx, my, mz = m[1] / cnt, m[2] / cnt, m[3] / cnt
+        return np.stack([
+            m[4] / cnt - mx * mx, m[5] / cnt - my * my, m[6] / cnt - mz * mz,
+            m[7] / cnt - mx * my, m[8] / cnt - mx * mz, m[9] / cnt - my * mz,
+        ])
+
+    np.testing.assert_allclose(m_s[0], m_x[0], atol=0.5)   # counts
+    valid = np.asarray(c.valid) & (m_x[0] >= 3)
+    np.testing.assert_allclose(to_cov(m_s)[:, valid], to_cov(m_x)[:, valid],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_preprocess_full_config_sorts_and_matches_legacy(rng):
+    """preprocess_cloud(cloud, full Config) returns a cm-sorted cloud whose
+    per-point covariances match the legacy (unsorted, dense) path."""
+    from semicp.config import Config
+
+    xyz, lab = make_scene(rng, n_points=900, extent=8.0, n_classes=5)
+    lab = lab - 1
+    cfg = Config().override({"cloud.n_pad": 1024, "cloud.num_classes": 5,
+                             "cov.radius": 0.9})
+    c_new = preprocess_cloud(make_cloud(xyz, lab, n_pad=1024), cfg)
+    assert c_new.layout == "cm"
+    c_old = preprocess_cloud(make_cloud(xyz, lab, n_pad=1024), cfg.cov)
+    # match rows by point identity (sorted vs unsorted order)
+    new_pts = np.asarray(c_new.xyz).T[np.asarray(c_new.valid)]
+    new_cov = np.asarray(c_new.cov6).T[np.asarray(c_new.valid)]
+    old_pts = np.asarray(c_old.xyz).T[np.asarray(c_old.valid)]
+    old_cov = np.asarray(c_old.cov6).T[np.asarray(c_old.valid)]
+    order_n = np.lexsort(new_pts.T)
+    order_o = np.lexsort(old_pts.T)
+    np.testing.assert_array_equal(new_pts[order_n], old_pts[order_o])
+    # the legacy path accumulates UNCENTERED f32 moments, so its S2/n -
+    # mean^2 epilogue carries summation-order-dependent cancellation
+    # noise (~0.1 abs on a handful of near-degenerate neighborhoods);
+    # the sorted path sums the same values in a different order. The
+    # sparse TPU kernel centers per tile and does not have this issue.
+    np.testing.assert_allclose(new_cov[order_n], old_cov[order_o],
+                               rtol=2e-3, atol=0.2)
+    close = np.isclose(new_cov[order_n], old_cov[order_o], rtol=2e-3, atol=2e-3)
+    assert close.mean() > 0.995
+
+
 def test_radius_covariance_planar_normals(rng):
     """Radius-moment covariances recover plane normals like kNN does."""
     plane = np.concatenate(

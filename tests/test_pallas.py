@@ -11,13 +11,19 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from semicp.cloud.cloud import Cloud
 from semicp.corr.pallas_nn2 import (
     class_nn_attrs_pallas,
     class_nn_attrs_sparse,
     class_nn_attrs_xla,
+    prepare_sparse,
     sort_cloud_by_class,
-    sort_cloud_spatial,
 )
+
+
+def _cloud(xyz, lab, cov6, val):
+    return Cloud(xyz=xyz, label=lab, cov6=cov6, valid=val,
+                 count=jnp.sum(val.astype(jnp.int32)))
 from semicp.register.pallas_estep import (
     estep_reduce_pallas,
     estep_reduce_xla,
@@ -83,7 +89,7 @@ def check_sparse_matches_xla_within_gate(rng, N, K, gate, extent=15.0,
     qval = jnp.ones(N, bool)
 
     d2_x, at_x = class_nn_attrs_xla(xyz, lab, val, cov6, q, K)
-    prep = sort_cloud_spatial(xyz, lab, cov6, val, K, cell=1.0, tb=256)
+    prep = prepare_sparse(_cloud(xyz, lab, cov6, val), K, cell=1.0, tb=256)
     d2_s, at_s = class_nn_attrs_sparse(prep, q, qval, num_classes=K,
                                        gate=gate, qb=256, interpret=interpret)
     d2_x, at_x, d2_s, at_s = map(np.asarray, (d2_x, at_x, d2_s, at_s))
@@ -116,7 +122,7 @@ def test_class_nn_sparse_shape_contract(rng):
     val = jnp.ones(768, bool)
     cov6 = jnp.zeros((6, 768), jnp.float32)
     with pytest.raises(AssertionError, match="multiple"):
-        sort_cloud_spatial(xyz, lab, cov6, val, 4, cell=1.0, tb=512)
+        prepare_sparse(_cloud(xyz, lab, cov6, val), 4, cell=1.0, tb=512)
 
 
 def make_estep_fixture(rng, K=6, N=1024, gate=2.0):
