@@ -41,10 +41,9 @@ def phase_table(cfg, src, tgt, reps=10):
     import jax.numpy as jnp
 
     from semicp.cloud import preprocess_cloud
-    from semicp.corr.morton import morton_order
-    from semicp.corr.pallas_nn2 import class_nn_attrs_sparse, sort_cloud_spatial
+    from semicp.corr.pallas_nn2 import class_nn_attrs_sparse, prepare_sparse
     from semicp.geom import sym3
-    from semicp.register.em_icp import _log_sem, _permute_cloud, resolve_engine
+    from semicp.register.em_icp import _log_sem, resolve_engine
     from semicp.register.gauss_newton import apply_T_planar, gn_solve
     from semicp.register.pallas_estep import estep_reduce_auto
 
@@ -59,11 +58,12 @@ def phase_table(cfg, src, tgt, reps=10):
     if engine != "sparse":
         return rows  # phase detail is for the flagship sparse TPU path
 
-    srcs = _permute_cloud(src, morton_order(src.xyz, src.valid, cfg.corr.cell))
-    sort_fn = jax.jit(lambda c: sort_cloud_spatial(
-        c.xyz, c.label, c.cov6, c.valid, K, cfg.corr.cell))
-    ms, prep = _steady_ms(sort_fn, tgt, reps=reps)
-    rows.append(("target Morton prep", ms))
+    # preprocess_cloud leaves clouds in canonical class-major Morton
+    # layout, so align-time target prep is just tile metadata + packing
+    srcs = src
+    prep_fn = jax.jit(lambda c: prepare_sparse(c, K, cfg.corr.cell))
+    ms, prep = _steady_ms(prep_fn, tgt, reps=reps)
+    rows.append(("target sparse prep", ms))
 
     T = jnp.eye(4, dtype=jnp.float32)
     moved = jnp.stack(apply_T_planar(T, tuple(srcs.xyz)))
