@@ -4,21 +4,32 @@ Tests never touch the real TPU — they run on a virtual 8-device CPU
 backend so distributed code paths (shard_map, psum, ppermute) execute in
 one process, and so `pytest -n` workers don't fight over the single chip.
 Must run before jax initializes its backends, hence module level here.
+
+Exception: the opt-in compiled-kernel lane (VERDICT r1 item 7) keeps the
+real chip — `SEMICP_TPU_TESTS=1 pytest -m tpu` runs the Pallas
+equivalence asserts with interpret=False on hardware (serialized; never
+combine with -n).
 """
 
 import os
 
-# The axon sitecustomize registers the TPU plugin and pins jax_platforms
-# at interpreter start, so env vars alone are too late/ignored —
-# override via jax.config after import (verified to stick).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+TPU_LANE = os.environ.get("SEMICP_TPU_TESTS") == "1"
+
+if not TPU_LANE:
+    # The axon sitecustomize registers the TPU plugin and pins
+    # jax_platforms at interpreter start, so env vars alone are too
+    # late/ignored — override via jax.config after import (verified to
+    # stick).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

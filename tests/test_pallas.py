@@ -42,12 +42,13 @@ def scene(rng):
     return N, K, xyz, lab, val, cov6, q
 
 
-def test_class_nn_v2_matches_xla(scene):
+def check_dense_matches_xla(scene, interpret=True):
+    """Shared assert body (also run compiled by the TPU lane)."""
     N, K, xyz, lab, val, cov6, q = scene
     d2_x, at_x = class_nn_attrs_xla(xyz, lab, val, cov6, q, K)
     xyz_s, lab_s, attrs16 = sort_cloud_by_class(xyz, lab, cov6, val, K)
     d2_p, at_p = class_nn_attrs_pallas(xyz_s, lab_s, attrs16, q, num_classes=K,
-                                       qb=256, tb=256, interpret=True)
+                                       qb=256, tb=256, interpret=interpret)
     d2_x, at_x, d2_p, at_p = map(np.asarray, (d2_x, at_x, d2_p, at_p))
     f = d2_x < 1e30
     assert (f == (d2_p < 1e30)).all()
@@ -55,6 +56,10 @@ def test_class_nn_v2_matches_xla(scene):
     ax = np.moveaxis(at_x, 1, 0)[:, f]
     ap = np.moveaxis(at_p, 1, 0)[:, f]
     np.testing.assert_array_equal(ap, ax)
+
+
+def test_class_nn_v2_matches_xla(scene):
+    check_dense_matches_xla(scene)
 
 
 def test_class_nn_v2_class_missing(rng):
