@@ -19,8 +19,13 @@ Every frame stores (anchor keyframe, relative pose); the exported
 trajectory recomposes against FINAL optimized keyframe poses, so late
 loop closures correct the whole history.
 
+With --dist (config 4, BASELINE.json:10) the submap becomes mesh-sharded
+map blocks: scan-to-map odometry runs the distributed EM align (ring NN
+over ppermute + psum'd GN, dist/align_dist.py) and the run closes with a
+distributed Schur-complement map BA over the same mesh (slam/map_ba.py).
+
 Usage:
-  python -m semicp.cli.run_slam --synthetic 120 [--loop] [--scan-to-map]
+  python -m semicp.cli.run_slam --synthetic 120 [--loop] [--scan-to-map] [--dist]
   python -m semicp.cli.run_slam --seq <kitti-seq-dir> [--voxel 0.3]
       [--out poses.txt] [--jsonl metrics.jsonl] [--checkpoint-dir ckpt/ --resume]
 """
@@ -66,6 +71,13 @@ def build_parser():
     ap.add_argument("--scan-to-map", action="store_true",
                     help="odometry aligns against the current submap "
                          "instead of the previous scan (BASELINE.json:9)")
+    ap.add_argument("--dist", action="store_true",
+                    help="config 4 (BASELINE.json:10): shard the submap "
+                         "into map blocks over the device mesh, run "
+                         "scan-to-map EM with the ring NN + psum'd GN "
+                         "(dist/align_dist.py), and finish with a "
+                         "distributed Schur-complement map BA "
+                         "(slam/map_ba.py). Implies --scan-to-map.")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max-keyframes", type=int, default=256)
@@ -171,6 +183,15 @@ def _restore_state(state, cfg):
 def run_slam(args, cfg: Config):
     timer = PhaseTimer()
     align_fn = make_robust_align_fn(cfg)
+    mesh = None
+    map_align_fn = align_fn
+    if args.dist:
+        from semicp.dist import make_mesh
+        from semicp.dist.align_dist import make_dist_align_fn
+
+        args.scan_to_map = True
+        mesh = make_mesh({cfg.dist.ring_axis: len(jax.devices())})
+        map_align_fn = make_dist_align_fn(mesh, cfg)
     ml = MetricsLogger(args.jsonl)
 
     gt_traj = None
@@ -264,8 +285,8 @@ def run_slam(args, cfg: Config):
                     anchor_pose = np.asarray(graph.poses, np.float64)[anchor_idx]
                     T_pred = T_now @ np.asarray(T_rel_prev, np.float64)
                     T_init = np.linalg.inv(anchor_pose) @ T_pred
-                    res = align_fn(cloud, sm_cloud,
-                                   np.asarray(T_init, np.float32))
+                    res = map_align_fn(cloud, sm_cloud,
+                                       np.asarray(T_init, np.float32))
                     T_new = anchor_pose @ np.asarray(res.T, np.float64)
                     T_rel = np.linalg.inv(T_now) @ T_new
                 else:
@@ -343,6 +364,17 @@ def run_slam(args, cfg: Config):
     if int(graph.n_edges) > 0:
         graph = optimize_pose_graph(graph, cfg.slam)
     final_kf = np.asarray(graph.poses, np.float64)
+    ba_stats = None
+    if args.dist and len(store) >= 2:
+        # config 4's closer: refine keyframe poses against the fused
+        # world map with the distributed Schur BA over the mesh
+        from semicp.slam.map_ba import refine_keyframes
+
+        with timer.phase("map_ba"):
+            final_kf, ba_stats = refine_keyframes(
+                store, final_kf, cfg, mesh=mesh,
+                voxel=args.voxel if args.seq else 0.1)
+        ml.log(frame=frame, kind="map_ba", **ba_stats)
     traj = np.stack([final_kf[a] @ rel for a, rel in anchors])
     save_kitti_poses(args.out, traj)
     ml.close()
@@ -350,6 +382,8 @@ def run_slam(args, cfg: Config):
     out = {"frames": len(traj), "keyframes": len(store),
            "edges": int(graph.n_edges), "loop_edges": n_loop_edges,
            "out": str(args.out), "timing": timer.summary()}
+    if ba_stats is not None:
+        out["map_ba"] = ba_stats
     if gt_traj is not None and len(traj) > 2:
         from semicp.eval import ate_rmse, rpe
 

@@ -96,6 +96,10 @@ class SLAMConfig:
     pgo_iters: int = 20             # pose-graph GN iterations
     pgo_huber: float = 1.0          # robust kernel scale
     checkpoint_every: int = 25      # keyframes between orbax checkpoints
+    ba_iters: int = 6               # map-BA LM iterations (slam/map_ba.py)
+    ba_gate: float = 0.5            # m, keyframe-point -> landmark match gate
+    ba_max_landmarks: int = 8192    # cap on fused map landmarks for BA
+    ba_obs_per_kf: int = 2048       # cap on observations per keyframe
 
 
 @dataclass(frozen=True)
