@@ -51,9 +51,12 @@ def phase_table(cfg, src, tgt, reps=10):
     rows = []
     engine = resolve_engine(cfg)
 
-    pre_fn = jax.jit(lambda c: preprocess_cloud(c, cfg.cov))
-    ms, _ = _steady_ms(pre_fn, src.replace(cov6=jnp.zeros_like(src.cov6)), reps=max(reps // 2, 2))
-    rows.append(("cov preprocess", ms))
+    # Full Config: includes the canonical class-major Morton sort, same
+    # as the product path, so the row reflects true per-scan prep cost.
+    pre_fn = jax.jit(lambda c: preprocess_cloud(c, cfg))
+    raw = src.replace(cov6=jnp.zeros_like(src.cov6), layout="raw")
+    ms, _ = _steady_ms(pre_fn, raw, reps=max(reps // 2, 2))
+    rows.append(("cov preprocess+sort", ms))
 
     if engine != "sparse":
         return rows  # phase detail is for the flagship sparse TPU path
@@ -126,7 +129,10 @@ def main():
     timer = PhaseTimer()
     raw_src = make_cloud(src_pts, src_lab, n_pad=n_pad)
     raw_tgt = make_cloud(tgt_pts, tgt_lab, n_pad=n_pad)
-    pre_fn = jax.jit(lambda c: preprocess_cloud(c, cfg.cov))
+    # Full Config: preprocess_cloud leaves clouds in the canonical
+    # class-major Morton layout the sparse NN kernel needs, so align
+    # skips its own sort (the product odometry path does the same).
+    pre_fn = jax.jit(lambda c: preprocess_cloud(c, cfg))
     align_fn = make_align_fn(cfg)
 
     with timer.phase("compile"):

@@ -33,7 +33,13 @@ def eigvals3x3(A):
     q = (a00 + a11 + a22) / 3.0
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
     p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
-    p = jnp.sqrt(jnp.clip(p2 / 6.0, 1e-30))
+    # floor keeps p**3 in normal f32 range: with the old 1e-30 floor,
+    # p**3 = 1e-45 flushes to zero and detb/(2 p^3) goes 0/0 = NaN on an
+    # exactly-zero matrix (e.g. the empirical covariance of a
+    # single-point neighborhood). Matrices with eigenvalue spread below
+    # 1e-10 are spherical to f32 anyway — the ±2p cos terms then perturb
+    # q by <=2e-10, which is noise at that scale.
+    p = jnp.sqrt(jnp.clip(p2 / 6.0, 1e-20))
     # det(B)/2 with B = (A - q I)/p
     detb = (
         b00 * (b11 * b22 - a12 * a12)
@@ -48,7 +54,9 @@ def eigvals3x3(A):
     # Diagonal / near-spherical guard: p1 ~ 0 means A is (almost) diagonal
     diag = jnp.stack([a00, a11, a22], -1)
     dsort = jnp.sort(diag, -1)[..., ::-1]
-    near_diag = (p1 < 1e-12 * (q * q + 1e-30))[..., None]
+    # absolute term must stay in normal f32 range (1e-30 * 1e-12 would
+    # flush to zero and drop the guard exactly when A ~ 0 needs it)
+    near_diag = (p1 < 1e-12 * (q * q + 1e-12))[..., None]
     return jnp.where(near_diag, dsort, jnp.stack([e1, e2, e3], -1))
 
 

@@ -31,6 +31,7 @@ and the confusion-model weights, giving a semantic-NDT for free.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +65,8 @@ def _voxel_segments(xyz, label, valid, voxel: float, semantic: bool):
     return order, start, lab_s, val_s
 
 
-@jax.jit
+@functools.partial(
+    jax.jit, static_argnames=("voxel", "min_points", "eig_ratio", "semantic"))
 def _build_ndt_arrays(xyz, label, valid, voxel, min_points, eig_ratio,
                       semantic: bool):
     n = xyz.shape[1]
@@ -90,16 +92,19 @@ def _build_ndt_arrays(xyz, label, valid, voxel, min_points, eig_ratio,
         table[8] / safe - mean[0] * mean[2],
         table[9] / safe - mean[1] * mean[2],
     ])                                                       # (6, V)
-    # Magnusson's regularization: floor each eigenvalue at
-    # eig_ratio * lambda_max (and absolutely at 1e-6) so every voxel
-    # Gaussian is SPD but stays anisotropic.
-    C = jnp.stack(sym3.to_matrix(tuple(cov6)), -1).reshape(-1, 3, 3) \
-        if False else jnp.moveaxis(jnp.asarray(sym3.to_matrix(tuple(cov6))), -1, 0)
+    # Magnusson's regularization, normalized GICP-style: keep each
+    # Gaussian's SHAPE (eigenvalues floored at eig_ratio * lambda_max)
+    # but rescale lambda_max to 1, matching the (1,1,eps) unit-scale
+    # convention of the GICP covariances the EM core's soft weights are
+    # calibrated for (physical voxel scale is gauge in the NDT score —
+    # a raw ~1e-3 m^2 normal-direction variance makes every Mahalanobis
+    # term O(100) and collapses the weights to zero).
+    C = sym3.to_matrix(tuple(cov6))                          # (V,3,3)
     wv, V = eigh3x3(C)                                       # (V,3),(V,3,3)
-    floor = jnp.maximum(eig_ratio * wv[..., :1], 1e-6)
-    wc = jnp.maximum(wv, floor)
+    lmax = jnp.maximum(wv[..., :1], 1e-9)
+    wc = jnp.clip(wv / lmax, eig_ratio, 1.0)
     Creg = jnp.einsum("vik,vk,vjk->vij", V, wc, V)
-    cov6_r = jnp.stack(sym3.from_matrix(jnp.moveaxis(Creg, 0, -1)))
+    cov6_r = jnp.stack(sym3.from_matrix(Creg))               # (6, V)
     # voxel label: all points in a (semantic) segment share one label;
     # a plain-NDT segment may mix labels — collapse to 0 either way
     # unless semantic, where the sorted segment is single-label.
