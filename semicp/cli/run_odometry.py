@@ -41,6 +41,11 @@ def build_parser():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--synthetic", type=int, default=0, help="run N synthetic frames")
     ap.add_argument("--n-points", type=int, default=4000)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="scan-ingest pipeline depth (slam/pipeline.py): "
+                         "host IO runs this many scans ahead and device "
+                         "preprocess is dispatched async; 0 = serial "
+                         "(identical results either way)")
     return ap
 
 
@@ -96,11 +101,15 @@ def run_odometry(args, cfg: Config):
         print(f"resuming at frame {start_frame}", file=sys.stderr)
 
     ml = MetricsLogger(args.jsonl)
+    from semicp.slam.pipeline import ScanPrefetcher
+
+    pf = ScanPrefetcher(next_scan, depth=max(getattr(args, "prefetch", 0), 0))
+    serial = getattr(args, "prefetch", 0) == 0
     prev_cloud = None
     T_rel_prev = np.eye(4, dtype=np.float32)
     frame = 0
     while True:
-        scan = next_scan()
+        scan = pf.get()
         if scan is None:
             break
         pts, lab = scan
@@ -108,16 +117,20 @@ def run_odometry(args, cfg: Config):
             frame += 1
             continue
         with timer.phase("preprocess"):
+            # async dispatch: XLA queues the preprocess program; the
+            # align below queues behind it and the host moves on to the
+            # prefetched next scan (slam/pipeline.py stage contract)
             cloud = to_device_cloud(pts, lab, cfg)
-            jax.block_until_ready(cloud.cov6)
+            if serial:
+                jax.block_until_ready(cloud.cov6)
         if prev_cloud is not None:
             with timer.phase("align"):
                 # warm start with the previous relative pose (constant
                 # velocity model, SURVEY.md §2.2 degenerate cases)
                 res = align_fn(cloud, prev_cloud, T_rel_prev)
-                jax.block_until_ready(res.T)
-            T_rel = np.asarray(res.T, np.float64)
-            T_rel_prev = np.asarray(res.T)
+                # the pose chain is the pipeline's only sync point
+                T_rel = np.asarray(res.T, np.float64)
+            T_rel_prev = T_rel.astype(np.float32)
             poses.append(poses[-1] @ T_rel)
             ml.log(frame=frame, iterations=int(res.iterations),
                    converged=bool(res.converged), cost=float(res.cost),

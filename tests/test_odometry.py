@@ -26,6 +26,40 @@ def test_synthetic_odometry(tmp_path):
     assert all("iterations" in r and "cost" in r for r in recs)
 
 
+def test_pipelined_matches_serial(tmp_path):
+    """The scan-ingest pipeline (slam/pipeline.py) changes scheduling
+    only: prefetch depth must not change a single pose."""
+    base = [
+        "--synthetic", "8", "--n-points", "800",
+        "--cloud.n_pad=1024", "--cloud.num_classes=8", "--em.max_iters=10",
+    ]
+    odometry_main(base + ["--out", str(tmp_path / "serial.txt"),
+                          "--prefetch", "0"])
+    odometry_main(base + ["--out", str(tmp_path / "piped.txt"),
+                          "--prefetch", "3"])
+    np.testing.assert_array_equal(np.loadtxt(tmp_path / "serial.txt"),
+                                  np.loadtxt(tmp_path / "piped.txt"))
+
+
+def test_scan_prefetcher_order_and_errors():
+    from semicp.slam.pipeline import ScanPrefetcher
+
+    items = iter(range(5))
+    pf = ScanPrefetcher(lambda: next(items, None), depth=2)
+    assert list(pf) == [0, 1, 2, 3, 4]
+    assert pf.get() is None          # stays exhausted
+
+    def boom():
+        raise RuntimeError("disk gone")
+
+    pf = ScanPrefetcher(boom, depth=2)
+    try:
+        pf.get()
+        raise AssertionError("producer exception not re-raised")
+    except RuntimeError as e:
+        assert "disk gone" in str(e)
+
+
 def test_odometry_resume(tmp_path):
     """Kill-and-resume: second invocation with --resume continues from the
     poses file without rewriting history (SURVEY.md §5 failure recovery)."""
