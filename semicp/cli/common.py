@@ -18,14 +18,32 @@ from semicp.data.kitti import voxel_downsample
 
 
 def load_scan_np(bin_path, label_path=None, voxel: float = 0.0):
-    """Load one KITTI scan (+ optional SemanticKITTI labels) as numpy.
+    """Load one scan (+ optional SemanticKITTI labels) as numpy.
 
-    Uses the native C++ loader (semicp.data.native) when available —
-    parse + remap + voxel downsample without intermediate copies — and
-    falls back to the numpy implementations otherwise.
+    Dispatches on extension: `.pcd` files (the reference's on-disk
+    format, optionally with an embedded XYZL label field) go through
+    semicp.data.pcd; KITTI `.bin` scans use the native C++ loader
+    (semicp.data.native) when available — parse + remap + voxel
+    downsample without intermediate copies — with numpy fallbacks.
     """
     from semicp.data import native
     from semicp.data.kitti import _REMAP_LUT
+
+    if str(bin_path).endswith(".pcd"):
+        from semicp.data.pcd import load_pcd
+
+        pts, lab = load_pcd(bin_path)
+        if label_path is not None:
+            raw, _ = load_semantickitti_labels(label_path)
+            lab = remap_semantickitti(raw)
+            if len(lab) != len(pts):
+                raise ValueError(
+                    f"scan/label length mismatch: {len(pts)} vs {len(lab)}")
+        elif lab is None:
+            lab = np.zeros(len(pts), np.int32)
+        if voxel > 0:
+            pts, lab = voxel_downsample(pts, lab, voxel)
+        return pts.astype(np.float32), lab.astype(np.int32)
 
     if native.native_available():
         xyz, _ = native.load_bin_planar(bin_path)
@@ -54,8 +72,16 @@ def load_scan_np(bin_path, label_path=None, voxel: float = 0.0):
 
 
 def to_device_cloud(pts, lab, cfg: Config) -> Cloud:
+    """Pad, upload, and preprocess a scan with the FULL config.
+
+    The full config puts the cloud in canonical class-major Morton
+    layout (corr.layout), which selects the block-sparse covariance
+    kernel here and lets align skip its own per-align sort — the
+    product path every CLI driver should take (a bare cfg.cov would
+    silently fall back to the dense kernels + raw layout).
+    """
     c = make_cloud(pts, lab, n_pad=cfg.cloud.n_pad)
-    return preprocess_cloud(c, cfg.cov)
+    return preprocess_cloud(c, cfg)
 
 
 def sequence_frames(seq_dir: str | Path):

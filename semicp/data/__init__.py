@@ -7,6 +7,7 @@ from semicp.data.kitti import (  # noqa: F401
     load_kitti_calib,
     SEMANTICKITTI_REMAP,
 )
+from semicp.data.pcd import load_pcd, save_pcd  # noqa: F401
 from semicp.data.synthetic import (  # noqa: F401
     make_scene,
     make_pair,

@@ -46,4 +46,6 @@ def build_submap(keyframes, poses: np.ndarray, anchor_idx: int, cfg: Config,
     if len(pts) > n_pad:
         sel = np.random.default_rng(0).permutation(len(pts))[:n_pad]
         pts, lab = pts[sel], lab[sel]
-    return preprocess_cloud(make_cloud(pts, lab, n_pad=n_pad), cfg.cov)
+    # Full config: canonical cm layout once per rebuild, so every align
+    # against this submap skips its own sort (see cli.common.to_device_cloud)
+    return preprocess_cloud(make_cloud(pts, lab, n_pad=n_pad), cfg)
