@@ -76,7 +76,7 @@ def tile_meta(xyz, label, valid, num_classes: int, tile: int) -> dict:
 
 
 def tile_candidates(qlo, qhi, tlo, thi, gate, n_cap: int | None = None,
-                    q_range=None, t_range=None):
+                    q_range=None, t_range=None, by_tid: bool = False):
     """Per-query-tile candidate target-tile lists under a distance gate.
 
     Exactness invariant: box_dist2 lower-bounds every point-pair
@@ -92,6 +92,13 @@ def tile_candidates(qlo, qhi, tlo, thi, gate, n_cap: int | None = None,
     are ordered nearest-box-first, so a cap drops the FARTHEST tiles;
     the returned `overflow` scalar counts dropped tiles (0 = exact).
 
+    by_tid: order candidates by ascending tile id instead of nearest-
+    box-first. Over a class-major layout tile ids are class-sorted, so
+    the class of successive candidates is NON-DECREASING — the sparse
+    NN kernel exploits this to accumulate winners in a single run
+    buffer and flush each class row exactly once (with n_cap, the cap
+    then drops the highest tile ids, not the farthest boxes).
+
     Returns (cand (n_qt, C) int32 — real candidates first, tail
     repeating the last real one so the kernel pipeline re-fetches no new
     block — count (n_qt,) int32, overflow () int32).
@@ -105,8 +112,12 @@ def tile_candidates(qlo, qhi, tlo, thi, gate, n_cap: int | None = None,
         mask = mask & (qmin[:, None] <= tmax[None, :]) \
                     & (tmin[None, :] <= qmax[:, None])
     count = jnp.sum(mask, axis=1).astype(jnp.int32)
-    # nearest-box-first among candidates, non-candidates last
-    key = jnp.where(mask, bd2, jnp.inf)
+    if by_tid:
+        tid = jnp.arange(mask.shape[1], dtype=jnp.int32)[None, :]
+        key = jnp.where(mask, tid, mask.shape[1]).astype(jnp.int32)
+    else:
+        # nearest-box-first among candidates, non-candidates last
+        key = jnp.where(mask, bd2, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     n_tt = tlo.shape[0]
     if n_cap is not None and n_cap < n_tt:

@@ -209,17 +209,42 @@ def prepare_sparse(cloud, num_classes: int, cell: float, tb: int = TB) -> dict:
 
 def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
                    qxyz, q2, attrs_hbm,
-                   out_d2, out_attr, slab, sem, *, qb, tb):
+                   out_d2, out_attr, slab, sem, *, qb, tb, num_classes,
+                   guard=True, stage=0):
     """Query-stationary block-sparse NN.
 
     One grid program per query tile; an inner fori_loop walks ONLY that
-    tile's candidate target tiles (nearest-box-first from the AABB-gate
-    prune), double-buffering each (16, tb) attr slab HBM->VMEM. The v2
-    design instead ran a dense (n_qt, n_tt) grid with pruned programs
-    predicated off — at 120k points that was 65536 programs of which
-    ~5k did work, and the ~60k no-op programs' fixed grid overhead
-    dominated the kernel (55 ms/call measured; the active-tile compute
-    is ~20 ms). Work here is proportional to ACTIVE tile pairs only.
+    tile's candidate target tiles, double-buffering each (16, tb) attr
+    slab HBM->VMEM. The v2 design ran a dense (n_qt, n_tt) grid with
+    pruned programs predicated off — at 120k points, ~60k no-op
+    programs' fixed grid overhead dominated (55 ms/call). v3 walked
+    candidates nearest-box-first at ~9.4 us per candidate tile pair.
+
+    v4 is shaped by the kbench attribution ladder (quiet v5e, 120k pts
+    / 20 classes / 5062 candidate pairs): DMA+loop 3.0 ms, +VPU d2+min
+    7.9 ms, +class loop 9.5 ms — everything else was the winner-select
+    + merge machinery. Measured and rejected on the way: d2 as an MXU
+    f32-HIGHEST matmul against the slab (+6.6 ms — Mosaic emulates f32
+    matmuls in multiple bf16 passes), an exact bf16x3 split of the
+    select matmul (neutral: the matmul was never the bottleneck), and
+    a run-accumulator merge replacing the K-indexed RMW (+4.7 ms).
+    What it keeps:
+
+    * skip-if-no-improvement guard: candidates walk nearest-box-first,
+      so many passes improve NOTHING and skip select/merge entirely
+      (@pl.when on a did-any-improve scalar; measured -10 ms).
+    * the winner one-hot comes from a constant-select jnp.where (no
+      bool->narrow-dtype relayout; the astype cost ~6 ms).
+    * the class loop stays a DYNAMIC fori over the tile's [cmin,
+      cmax] range with pl.ds-indexed merges. Measured and rejected
+      alternatives for the ~14 ms of merge-write overhead: 2-D
+      (K*NATTR, q) outputs with sublane-aligned dynamic slices
+      (neutral), lane-interleaved (1, K*qb) outputs with 128-aligned
+      dynamic lane slices (slower everywhere, even the DMA-only
+      ladder floor), and a static unroll over K with predicated
+      bodies, the dense kernel's scheme (catastrophic here: 279
+      ms/call — ~20 predicated vector bodies per candidate all pay,
+      where the dense kernel's grid pays them once per (qt, tt) pair).
     """
     i = pl.program_id(0)
     cnt = count_ref[i]
@@ -235,7 +260,8 @@ def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
     def _():
         tile_dma(0, 0).start()
 
-    vqx, vqy, vqz, vq2 = qxyz[0, :], qxyz[1, :], qxyz[2, :], q2[0, :]
+    vqx, vqy, vqz = qxyz[0, :], qxyz[1, :], qxyz[2, :]
+    vq2 = q2[0, :]
 
     def body(c, carry):
         slot = c % 2
@@ -252,44 +278,85 @@ def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
               - 2.0 * vqz[:, None] * t[2][None, :])    # (qb, tb)
         lab = t[ROW_LAB][None, :]                      # float class ids
 
+        # cost-attribution ladder for scripts/kbench.py (stage=0 is the
+        # product path; stubs produce WRONG results by design):
+        #   1: skip winner-select matmul + merge   2: skip the class
+        #   loop (one unmasked min)                3: DMA + loop only
+        if stage == 3:
+            out_d2[0:1, :] = jnp.minimum(out_d2[0:1, :], t[0:1, 0:qb])
+            return carry
+        if stage == 2:
+            m = jnp.min(d2, axis=1)
+            out_d2[0:1, :] = jnp.minimum(out_d2[0:1, :], m[None, :])
+            return carry
+        if stage == 1:
+            def cheap_pass(k, carry):
+                dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
+                m = jnp.min(dk, axis=1)
+                onehot = jnp.where(dk == m[:, None], 1.0, 0.0)
+                out_d2[0:1, :] = jnp.minimum(
+                    out_d2[0:1, :], m[None, :] + onehot[:, 0][None, :])
+                return carry
+            tid0 = cand_ref[i, c]
+            return jax.lax.fori_loop(cmin_ref[tid0], cmax_ref[tid0] + 1,
+                                     cheap_pass, carry)
+
+        # Class-major sort makes a tile's classes the contiguous range
+        # [cmin, cmax] (usually one class) — a DYNAMIC loop over that
+        # range keeps cost and compile time independent of K.
         # Class-major sort makes a tile's classes the contiguous range
         # [cmin, cmax] (usually one class) — a DYNAMIC loop over that
         # range keeps cost and compile time independent of K.
         def class_pass(k, carry):
             dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
+            # m is always finite: class k has >= 1 valid column in this
+            # tile (cmin/cmax are computed over valid labels only)
             m = jnp.min(dk, axis=1)                    # (qb,) exact f32 min
-            # winner one-hot by VALUE equality (no argmin — its Mosaic
-            # lowering measured ~29 us/pass); exact ties average via the
-            # all-ones attr row (ROW_CNT) used as the normalizer
-            onehot = ((dk == m[:, None]) & (dk < INF)).astype(jnp.float32)
-            sel = jax.lax.dot_general(
-                t, onehot,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # (NATTR, qb)
-            sel = sel * (1.0 / jnp.maximum(sel[ROW_CNT, :], 1.0))[None, :]
-            prev = out_d2[pl.ds(k, 1), :]                           # (1, qb)
+            prev = out_d2[pl.ds(k, 1), :]              # (1, qb)
             better = m[None, :] < prev
-            out_d2[pl.ds(k, 1), :] = jnp.where(better, m[None, :], prev)
-            preva = out_attr[pl.ds(k, 1), :, :]                     # (1,16,qb)
-            out_attr[pl.ds(k, 1), :, :] = jnp.where(
-                better[:, None, :], sel[None], preva)
+            improved = jnp.max(better.astype(jnp.int32)) > 0
+
+            # nearest-box-first: most queries settle on their class's
+            # first candidate, so later passes often improve NOTHING
+            # and the whole select/merge is skipped
+            @pl.when(improved if guard else improved | True)
+            def _():
+                # winner one-hot by VALUE equality (no argmin — its
+                # Mosaic lowering measured ~29 us/pass); wrong-class
+                # columns sit at INF > m so no (dk < INF) gate is
+                # needed; exact ties average via the all-ones attr row
+                # (ROW_CNT) normalizer
+                onehot = jnp.where(dk == m[:, None], 1.0, 0.0)
+                sel = jax.lax.dot_general(
+                    t, onehot,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (NATTR, qb)
+                sel = sel * (1.0 / jnp.maximum(sel[ROW_CNT, :], 1.0))[None, :]
+                out_d2[pl.ds(k, 1), :] = jnp.where(better, m[None, :], prev)
+                preva = out_attr[pl.ds(k, 1), :, :]    # (1, NATTR, qb)
+                out_attr[pl.ds(k, 1), :, :] = jnp.where(
+                    better[:, None, :], sel[None], preva)
+
             return carry
 
         tid = cand_ref[i, c]
-        jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1, class_pass, 0)
-        return carry
+        return jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1,
+                                 class_pass, carry)
 
-    jax.lax.fori_loop(0, cnt, body, 0)
+    jax.lax.fori_loop(0, cnt, body, jnp.int32(0))
+
     # contract: attr rows beyond the 10 (xyz, cov6, found) are zero —
     # the slab's t2/label transport rows must not leak to consumers
     out_attr[:, 10:, :] = jnp.zeros_like(out_attr[:, 10:, :])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_classes", "gate", "qb", "interpret"))
+                   static_argnames=("num_classes", "qb", "interpret",
+                                    "guard", "stage"))
 def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
-                          gate: float, qb: int = QB, interpret: bool = False):
+                          gate, qb: int = QB, interpret: bool = False,
+                          guard: bool = True, stage: int = 0):
     """Block-sparse per-class NN: class-major Morton tiles + AABB pruning.
 
     Same contract as `class_nn_attrs_pallas` for every correspondence
@@ -299,7 +366,7 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     cover compact regions (what makes AABB pruning bite); exactness does
     not depend on it. Replaces the reference's per-class kd-tree query
     (SURVEY.md §2.1 "Per-class kd-tree NN search") with an
-    O(N * tiles-in-gate) data-layout kernel.
+    O(N * tiles-in-gate) data-layout kernel. `gate` is a runtime scalar.
     """
     from semicp.corr.layout import tile_candidates
     from semicp.corr.morton import tile_aabbs
@@ -315,6 +382,8 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     K = num_classes
 
     qlo, qhi = tile_aabbs(q_xyz, q_valid, qb)
+    # nearest-box-first: maximizes the kernel's skip-if-no-improvement
+    # guard hit rate (see _sparse_kernel)
     cand, count, _ = tile_candidates(qlo, qhi, prep["lo"], prep["hi"], gate)
 
     q2 = jnp.sum(q_xyz * q_xyz, axis=0, keepdims=True)                  # (1,Q)
@@ -342,7 +411,8 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     )
 
     out_d2, out_attr = pl.pallas_call(
-        functools.partial(_sparse_kernel, qb=qb, tb=tb),
+        functools.partial(_sparse_kernel, qb=qb, tb=tb, num_classes=K,
+                          guard=guard, stage=stage),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((K, q), jnp.float32),
@@ -354,7 +424,6 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
         q_xyz, q2, prep["attrs16"],
     )
     return out_d2, out_attr
-
 
 def class_nn_attrs_xla(tgt_xyz, tgt_label, tgt_valid, tgt_cov6, q_xyz, num_classes: int):
     """XLA fallback with the same contract (CPU mesh / tests)."""
