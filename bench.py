@@ -94,6 +94,10 @@ def phase_table(cfg, src, tgt, reps=10):
 def main():
     import jax
 
+    from semicp.cli.common import setup_jax
+
+    setup_jax()  # persistent XLA compile cache across bench invocations
+
     from semicp.cloud import make_cloud, preprocess_cloud
     from semicp.config import Config
     from semicp.data import make_pair, make_scene

@@ -3,9 +3,31 @@
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import numpy as np
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    """Enable the persistent XLA compilation cache for this process.
+
+    A KITTI-scale align program costs ~27 s to compile (BENCH_r03); the
+    cache amortizes it across CLI invocations at identical shapes.
+    Controlled by SEMICP_COMPILE_CACHE (a directory, or "0" to disable);
+    defaults to ~/.cache/semicp_xla. Safe to call more than once.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "SEMICP_COMPILE_CACHE", os.path.expanduser("~/.cache/semicp_xla"))
+    if not cache_dir or cache_dir == "0":
+        return
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache every program: CLI processes are short-lived, so even
+    # fast-compiling helper programs are worth persisting
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from semicp.config import Config
 from semicp.cloud import Cloud, make_cloud, preprocess_cloud
@@ -29,7 +51,7 @@ def load_scan_np(bin_path, label_path=None, voxel: float = 0.0):
     from semicp.data import native
     from semicp.data.kitti import _REMAP_LUT
 
-    if str(bin_path).endswith(".pcd"):
+    if Path(bin_path).suffix.lower() == ".pcd":
         from semicp.data.pcd import load_pcd
 
         pts, lab = load_pcd(bin_path)
@@ -79,7 +101,18 @@ def to_device_cloud(pts, lab, cfg: Config) -> Cloud:
     kernel here and lets align skip its own per-align sort — the
     product path every CLI driver should take (a bare cfg.cov would
     silently fall back to the dense kernels + raw layout).
+
+    Labels are validated against cfg.cloud.num_classes here: the KITTI
+    path remaps into [0, K), but `.pcd` XYZL files carry arbitrary
+    uint32 labels, and an out-of-range label would silently corrupt the
+    class-tiled kernels' per-tile class ranges (r3 advisor, medium).
     """
+    lab = np.asarray(lab)
+    if lab.size and int(lab.max()) >= cfg.cloud.num_classes:
+        raise ValueError(
+            f"label {int(lab.max())} >= cloud.num_classes="
+            f"{cfg.cloud.num_classes}; remap labels into [0, K) first "
+            "(raw un-remapped SemanticKITTI ids in a .pcd file?)")
     c = make_cloud(pts, lab, n_pad=cfg.cloud.n_pad)
     return preprocess_cloud(c, cfg)
 

@@ -24,10 +24,9 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from semicp.cli.common import load_scan_np, print_result, to_device_cloud
+from semicp.cli.common import setup_jax, load_scan_np, print_result, to_device_cloud
 from semicp.config import Config, parse_overrides
 from semicp.data import save_kitti_poses
-from semicp.register import make_robust_align_fn
 from semicp.utils import MetricsLogger, PhaseTimer
 
 
@@ -63,7 +62,9 @@ def synthetic_frames(n_frames, n_points, seed=0):
 
 def run_odometry(args, cfg: Config):
     timer = PhaseTimer()
-    align_fn = make_robust_align_fn(cfg)
+    from semicp.register.em_icp import PipelinedAligner
+
+    aligner = PipelinedAligner(cfg)
 
     poses = [np.eye(4)]
     gt_traj = None
@@ -106,8 +107,18 @@ def run_odometry(args, cfg: Config):
     pf = ScanPrefetcher(next_scan, depth=max(getattr(args, "prefetch", 0), 0))
     serial = getattr(args, "prefetch", 0) == 0
     prev_cloud = None
-    T_rel_prev = np.eye(4, dtype=np.float32)
+    pending_meta = None   # (frame, n_points) of the in-flight pair
     frame = 0
+
+    def chain(res, meta):
+        f, n_pts = meta
+        T_rel = np.asarray(res.T, np.float64)
+        poses.append(poses[-1] @ T_rel)
+        ml.log(frame=f, iterations=int(res.iterations),
+               converged=bool(res.converged), cost=float(res.cost),
+               n_corr=float(res.n_corr), n_points=n_pts)
+        save_kitti_poses(out_path, np.asarray(poses))
+
     while True:
         scan = pf.get()
         if scan is None:
@@ -125,19 +136,22 @@ def run_odometry(args, cfg: Config):
                 jax.block_until_ready(cloud.cov6)
         if prev_cloud is not None:
             with timer.phase("align"):
-                # warm start with the previous relative pose (constant
-                # velocity model, SURVEY.md §2.2 degenerate cases)
-                res = align_fn(cloud, prev_cloud, T_rel_prev)
-                # the pose chain is the pipeline's only sync point
-                T_rel = np.asarray(res.T, np.float64)
-            T_rel_prev = T_rel.astype(np.float32)
-            poses.append(poses[-1] @ T_rel)
-            ml.log(frame=frame, iterations=int(res.iterations),
-                   converged=bool(res.converged), cost=float(res.cost),
-                   n_corr=float(res.n_corr), n_points=len(pts))
-            save_kitti_poses(out_path, np.asarray(poses))
+                # dispatch align(t); the aligner warm-starts from the
+                # previous result's DEVICE pose (constant-velocity
+                # model) and hands back frame t-1's RESOLVED result —
+                # its deferred health check never stalls a dispatch
+                # (em_icp.PipelinedAligner)
+                res_prev = aligner.submit(cloud, prev_cloud)
+            if res_prev is not None:
+                chain(res_prev, pending_meta)
+            pending_meta = (frame, len(pts))
         prev_cloud = cloud
         frame += 1
+
+    with timer.phase("align"):
+        res_last = aligner.flush()
+    if res_last is not None:
+        chain(res_last, pending_meta)
 
     ml.close()
     out = {"frames": len(poses), "out": str(out_path), "timing": timer.summary()}
@@ -152,6 +166,7 @@ def run_odometry(args, cfg: Config):
 
 
 def main(argv=None):
+    setup_jax()  # persistent XLA compile cache (VERDICT r3 #3)
     ap = build_parser()
     args, extra = ap.parse_known_args(argv if argv is not None else sys.argv[1:])
     cfg = Config().override(parse_overrides(extra))

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from semicp.config import Config, parse_overrides
-from semicp.cli.common import load_scan_np, print_result, to_device_cloud
+from semicp.cli.common import setup_jax, load_scan_np, print_result, to_device_cloud
 from semicp.register import make_align_fn
 from semicp.utils import MetricsLogger, PhaseTimer
 
@@ -44,6 +44,7 @@ def build_parser():
 
 
 def main(argv=None):
+    setup_jax()  # persistent XLA compile cache (VERDICT r3 #3)
     argv = argv if argv is not None else sys.argv[1:]
     ap = build_parser()
     args, extra = ap.parse_known_args(argv)

@@ -85,6 +85,12 @@ def load_pcd(path) -> tuple[np.ndarray, np.ndarray | None]:
             rec = np.frombuffer(fh.read(dtype.itemsize * n), dtype=dtype, count=n)
         elif data == "ascii":
             txt = np.loadtxt(fh, dtype=np.float64, ndmin=2)
+            if txt.shape[0] < n:
+                # mirror the binary path's frombuffer(count=n) error on a
+                # truncated data section instead of loading short silently
+                raise ValueError(
+                    f"{path}: PCD declares POINTS {n} but the ascii data "
+                    f"section holds only {txt.shape[0]} rows")
             if txt.shape[0] != n:
                 txt = txt[:n]
             rec = np.empty(txt.shape[0], dtype=dtype)

@@ -66,8 +66,11 @@ def _chol_sinv(s00, s11, s22, s01, s02, s12):
     return (l00, l10, l20, l11, l21, l22), logdet, (i0, i1, i2, i3, i4, i5)
 
 
-def _reduce_kernel(d2_ref, attrs_ref, rc_ref, mv_ref, ls_ref, val_ref,
-                   a_ref, b_ref, cw_ref, *, num_classes, gate2):
+def _reduce_kernel(gate2_ref, d2_ref, attrs_ref, rc_ref, mv_ref, ls_ref,
+                   val_ref, a_ref, b_ref, cw_ref, *, num_classes):
+    # gate2 is a runtime scalar (SMEM) so SLAM's wide-gate verification
+    # program reuses this compiled kernel instead of recompiling
+    gate2 = gate2_ref[0, 0]
     px, py, pz = mv_ref[0], mv_ref[1], mv_ref[2]
     r0, r1, r2 = rc_ref[0], rc_ref[1], rc_ref[2]
     r3, r4, r5 = rc_ref[3], rc_ref[4], rc_ref[5]
@@ -128,15 +131,15 @@ def _reduce_kernel(d2_ref, attrs_ref, rc_ref, mv_ref, ls_ref, val_ref,
     cw_ref[1] = jnp.where(s > 0.0, 1.0, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("gate2", "nb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
 def estep_reduce_pallas(nn_d2, attrs, rc6, moved, log_sem, valid,
-                        gate2: float, nb: int = NB, interpret: bool = False):
+                        gate2, nb: int = NB, interpret: bool = False):
     """Fused weights + class reduction (see module docstring).
 
     nn_d2 (K,N), attrs (K,16,N) — the NN kernel's outputs;
     rc6 (6,N) rotated source covariance; moved (3,N) = T z;
     log_sem (K,N) semantic log-prior; valid (N,) bool source mask;
-    gate2 = max correspondence distance SQUARED (static).
+    gate2 = max correspondence distance SQUARED (runtime scalar).
 
     Returns (A (6,N), b (3,N), c (N), wsum (N)).
     """
@@ -149,11 +152,12 @@ def estep_reduce_pallas(nn_d2, attrs, rc6, moved, log_sem, valid,
         return pl.BlockSpec((lead, nb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     aspec = pl.BlockSpec((K, 16, nb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     a6, b3, cw = pl.pallas_call(
-        functools.partial(_reduce_kernel, num_classes=K, gate2=gate2),
+        functools.partial(_reduce_kernel, num_classes=K),
         grid=grid,
-        in_specs=[spec(K), aspec, spec(6), spec(3), spec(K), spec(1)],
+        in_specs=[sspec, spec(K), aspec, spec(6), spec(3), spec(K), spec(1)],
         out_specs=(spec(6), spec(3), spec(2)),
         out_shape=(
             jax.ShapeDtypeStruct((6, n), jnp.float32),
@@ -161,7 +165,8 @@ def estep_reduce_pallas(nn_d2, attrs, rc6, moved, log_sem, valid,
             jax.ShapeDtypeStruct((2, n), jnp.float32),
         ),
         interpret=interpret,
-    )(nn_d2, attrs, rc6, moved,
+    )(jnp.asarray(gate2, jnp.float32).reshape(1, 1),
+      nn_d2, attrs, rc6, moved,
       log_sem, valid.astype(jnp.float32)[None])
     return a6, b3, cw[0], cw[1]
 
