@@ -39,7 +39,7 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from semicp.cli.common import load_scan_np, print_result, to_device_cloud
+from semicp.cli.common import setup_jax, load_scan_np, print_result, to_device_cloud
 from semicp.config import Config, parse_overrides
 from semicp.data import save_kitti_poses
 from semicp.geom.se3 import se3_exp
@@ -66,6 +66,9 @@ def build_parser():
     ap.add_argument("--n-points", type=int, default=3000)
     ap.add_argument("--loop", action="store_true",
                     help="synthetic: drive a closed loop (tests loop closure)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="synthetic: scene/trajectory seed (batch-SLAM "
+                         "equivalence tests run one seed per sequence)")
     ap.add_argument("--drift", type=float, default=0.0,
                     help="synthetic: inject per-frame odometry drift (m)")
     ap.add_argument("--scan-to-map", action="store_true",
@@ -126,6 +129,7 @@ def _capture_state(graph, store, anchors, T_now, T_rel_prev, prev_cloud, frame):
             "edge_i": np.asarray(graph.edge_i), "edge_j": np.asarray(graph.edge_j),
             "edge_z": np.asarray(graph.edge_z),
             "edge_info": np.asarray(graph.edge_info),
+            "edge_W": np.asarray(graph.edge_W),
             "n_edges": np.asarray(graph.n_edges),
         },
         "kf_frames": np.asarray([k.frame for k in store.keyframes], np.int32),
@@ -165,6 +169,7 @@ def _restore_state(state, cfg):
         poses=jnp.asarray(g["poses"]), n_poses=jnp.asarray(g["n_poses"]),
         edge_i=jnp.asarray(g["edge_i"]), edge_j=jnp.asarray(g["edge_j"]),
         edge_z=jnp.asarray(g["edge_z"]), edge_info=jnp.asarray(g["edge_info"]),
+        edge_W=jnp.asarray(g["edge_W"]),
         n_edges=jnp.asarray(g["n_edges"]),
     )
     store = KeyframeStore()
@@ -197,7 +202,8 @@ def run_slam(args, cfg: Config):
     gt_traj = None
     if args.synthetic:
         frames, gt_traj = synthetic_loop_frames(
-            args.synthetic, args.n_points, closed=args.loop)
+            args.synthetic, args.n_points, closed=args.loop,
+            seed=getattr(args, "seed", 0))
         frame_iter = iter(frames)
 
         def next_scan():
@@ -322,7 +328,8 @@ def run_slam(args, cfg: Config):
                 Z = np.linalg.inv(last_kf_pose) @ T_now
                 graph = add_edge(graph, kf_last.index, kf.index,
                                  Z.astype(np.float32),
-                                 edge_info_from_hessian(res.H))
+                                 edge_info_from_hessian(res.H),
+                                 H=np.asarray(res.H))
                 if args.scan_to_map:
                     submap = rebuild_submap()
 
@@ -331,11 +338,12 @@ def run_slam(args, cfg: Config):
                     cands = propose_loop_closures(store, kf, poses_now, cfg)
                     accepted = []
                     for c in cands[:cfg.slam.lc_max_candidates]:
-                        ok, Zl, info = verify_loop_closure(
+                        ok, Zl, info, Hl = verify_loop_closure(
                             store, c, kf.index, poses_now, cfg)
                         if ok:
                             graph = add_edge(graph, c, kf.index,
-                                             Zl.astype(np.float32), info)
+                                             Zl.astype(np.float32), info,
+                                             H=Hl)
                             accepted.append(c)
                             n_loop_edges += 1
                 if accepted:
@@ -394,6 +402,7 @@ def run_slam(args, cfg: Config):
 
 
 def main(argv=None):
+    setup_jax()  # persistent XLA compile cache (VERDICT r3 #3)
     ap = build_parser()
     args, extra = ap.parse_known_args(argv if argv is not None else sys.argv[1:])
     cfg = Config().override(parse_overrides(extra))

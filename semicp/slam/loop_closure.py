@@ -50,20 +50,27 @@ def verify_loop_closure(store: KeyframeStore, i: int, j: int, poses: np.ndarray,
                         cfg: Config, align_fn=None):
     """EM-align keyframe j's cloud onto keyframe i's cloud.
 
-    Returns (accepted, Z_ij (4,4) with x_i = Z_ij x_j, info weight) —
-    the pose-graph edge measurement convention (pose_graph.py).
+    Returns (accepted, Z_ij (4,4) with x_i = Z_ij x_j, info weight,
+    H (6,6)) — the pose-graph edge measurement convention
+    (pose_graph.py). H is the align's full GN Hessian; add_edge
+    normalizes it into the edge's 6x6 information shape (first-order:
+    the align tangent frame and the edge residual frame differ by the
+    adjoint of a near-identity correction, which whitening absorbs).
     """
-    # wide gate for the verification alignment: drift may be metres
-    wide = cfg.override({"corr.max_dist": cfg.slam.lc_max_dist / 2.0,
-                         "em.max_iters": 40})
-    align = align_fn or make_align_fn(wide)
+    # wide gate for the verification alignment: drift may be metres.
+    # gate/max_iters are runtime operands of the SAME compiled align
+    # program as odometry (em_icp.make_align_fn), so the first accepted
+    # candidate costs no second KITTI-scale compile.
+    align = align_fn or make_align_fn(cfg)
     T_init = np.linalg.inv(poses[i].astype(np.float64)) @ poses[j].astype(np.float64)
     res = align(store[j].cloud, store[i].cloud,
-                np.asarray(T_init, np.float32))
+                np.asarray(T_init, np.float32),
+                gate=cfg.slam.lc_max_dist / 2.0, max_iters=40)
     n_corr = float(res.n_corr)
     ok = bool(res.converged) and n_corr > 0.25 * float(store[j].cloud.count)
     Z = np.asarray(res.T, np.float64)
-    return ok, Z, edge_info_from_hessian(res.H)
+    H = np.asarray(res.H, np.float64)
+    return ok, Z, edge_info_from_hessian(H), H
 
 
 def edge_info_from_hessian(H) -> float:
