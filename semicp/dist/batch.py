@@ -24,9 +24,10 @@ from semicp.config import Config
 from semicp.register.em_icp import _align_impl
 
 
-def _batch_align_local(src_batch: Cloud, tgt_batch: Cloud, T0_batch, cfg: Config):
+def _batch_align_local(src_batch: Cloud, tgt_batch: Cloud, T0_batch,
+                       gate, mi, cfg: Config):
     """vmap the whole EM program over a local batch of pairs."""
-    return jax.vmap(lambda s, t, T0: _align_impl(s, t, T0, cfg))(
+    return jax.vmap(lambda s, t, T0: _align_impl(s, t, T0, gate, mi, cfg))(
         src_batch, tgt_batch, T0_batch
     )
 
@@ -37,6 +38,9 @@ def batched_align(mesh: Mesh, cfg: Config, axis: str = "pairs"):
     The returned fn takes (src_batch, tgt_batch, T0_batch) where every
     leaf's leading dim is the batch dim (a multiple of the mesh axis
     size) and returns a batched AlignResult with the same leading dim.
+    Optional `gate` / `max_iters` keywords are runtime operands of the
+    one compiled program (batch SLAM's wide-gate loop-closure
+    verification reuses the odometry program with zero recompiles).
     """
     spec = P(axis)
     # check_vma=False: the EM/GN loops carry scalar literals (lam, cost)
@@ -46,11 +50,18 @@ def batched_align(mesh: Mesh, cfg: Config, axis: str = "pairs"):
     fn = jax.shard_map(
         functools.partial(_batch_align_local, cfg=cfg),
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P(), P()),
         out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+
+    def wrapper(src_batch, tgt_batch, T0_batch, gate=None, max_iters=None):
+        g = jnp.float32(cfg.corr.max_dist if gate is None else gate)
+        mi = jnp.int32(cfg.em.max_iters if max_iters is None else max_iters)
+        return jitted(src_batch, tgt_batch, T0_batch, g, mi)
+
+    return wrapper
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "pairs"):
