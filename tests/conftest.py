@@ -31,6 +31,14 @@ import jax  # noqa: E402
 if not TPU_LANE:
     jax.config.update("jax_platforms", "cpu")
 
+if os.environ.get("SEMICP_DEBUG_NANS") == "1":
+    # Numeric-sanitization lane (SURVEY.md §5 "race detection /
+    # sanitizers"): every jitted program traps on the first NaN it
+    # produces instead of propagating it into a silently-degraded pose.
+    # Run once per round: SEMICP_DEBUG_NANS=1 pytest -q. The eig3
+    # zero-matrix NaN (commit 752b253) is this lane's target bug class.
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
