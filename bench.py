@@ -23,20 +23,40 @@ import time
 import numpy as np
 
 
-def _steady_ms(fn, *args, reps=10):
+def _drain(out):
+    """Force completion of every queued device program.
+
+    jax.block_until_ready is a NO-OP under the axon PJRT tunnel
+    (measured: a 5-matmul chain 'blocks' in 0.19 ms, while fetching its
+    result takes the real compute+transfer time). A host fetch of ONE
+    element of the newest output drains the device stream — executions
+    serialize, so waiting on the last waits on all — without paying the
+    tunnel's slow bulk-transfer path.
+    """
     import jax
 
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _steady_ms(fn, *args, reps=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     return (time.perf_counter() - t0) / reps * 1e3, out
 
 
 def phase_table(cfg, src, tgt, reps=10):
-    """Steady-state ms of each pipeline phase at the bench workload."""
+    """Steady-state ms of each pipeline phase at the bench workload.
+
+    Phases are measured ISOLATED at T = identity — right for ranking
+    bottlenecks, but not a wall-clock budget: inside the EM loop the NN
+    kernel gets cheaper as queries converge (the skip guard hits more),
+    so the rows sum to more than the e2e align time (VERDICT r3 Weak #2).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -143,16 +163,19 @@ def main():
         src = pre_fn(raw_src)
         tgt = pre_fn(raw_tgt)
         res = align_fn(src, tgt)
-        jax.block_until_ready(res.T)
+        _drain(res.T)
 
     # Steady state: one scan of odometry work = preprocess the incoming
     # scan + align it against the (already-preprocessed) previous scan.
+    # The loop ends with a host fetch (_drain) because block_until_ready
+    # does not block on this runtime — without it the loop would time
+    # only the dispatches.
     with timer.phase("scan_loop"):
         t0 = time.perf_counter()
         for _ in range(repeats):
             src = pre_fn(raw_src)
             res = align_fn(src, tgt)
-        jax.block_until_ready(res.T)
+        _drain(res.T)
         dt = time.perf_counter() - t0
     scans_per_s = repeats / dt
 
@@ -198,6 +221,8 @@ def main():
     lines = [f"# n={n_points} classes={n_classes} iters={int(res.iterations)} "
              f"trans_err={terr:.4f}m cpu={cpu_scans_per_s:.4f} scans/s"]
     try:
+        lines.append("# phases measured isolated at T=identity "
+                     "(bottleneck ranking, not an e2e budget)")
         for name, ms in phase_table(cfg, src, tgt, reps=max(repeats // 2, 3)):
             lines.append(f"# phase {name:24s} {ms:9.2f} ms")
     except Exception as e:  # phase detail must never sink the headline

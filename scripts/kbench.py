@@ -20,14 +20,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def steady(fn, reps=20):
+def drain(out):
+    """block_until_ready is a no-op under the axon tunnel; a one-element
+    host fetch of the newest output drains the serialized device stream
+    (see bench._drain)."""
     import jax
 
-    jax.block_until_ready(fn())
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def steady(fn, reps=20):
+    drain(fn())
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+    drain(out)
     return (time.perf_counter() - t0) / reps * 1e3
 
 

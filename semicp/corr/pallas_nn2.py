@@ -108,6 +108,11 @@ def class_nn_attrs_pallas(tgt_xyz_s, tgt_label_s, attrs16, q_xyz,
     qb = min(qb, q)
     tb = min(tb, n)
     K = num_classes
+    # fail loudly: a non-multiple Q/N would silently drop the last
+    # partial grid tile AND force Mosaic onto a catastrophically slow
+    # unaligned-lane path (measured ~2000x at Q=117964)
+    assert q % qb == 0, f"class_nn_attrs_pallas: Q={q} not a multiple of qb={qb}"
+    assert n % tb == 0, f"class_nn_attrs_pallas: N={n} not a multiple of tb={tb}"
 
     tx, ty, tz = tgt_xyz_s[0], tgt_xyz_s[1], tgt_xyz_s[2]
     t2 = tx * tx + ty * ty + tz * tz
@@ -382,9 +387,19 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     K = num_classes
 
     qlo, qhi = tile_aabbs(q_xyz, q_valid, qb)
+    # the candidate lists ride in scalar-prefetch SMEM (1 MB total): at
+    # map scale the uncapped (n_qt, n_tt) matrix overflows it, so cap
+    # candidates per query tile, budgeting ~256 KB. Nearest-box-first
+    # ordering means a binding cap drops the FARTHEST boxes — at the
+    # default gate the cap never binds below ~0.5M-point maps (bench
+    # scale: n_tt=128 < cap=128)
+    n_tt = prep["lo"].shape[0]
+    n_qt = q // qb
+    cap = min(n_tt, max(32, (1 << 16) // max(n_qt, 1)))
     # nearest-box-first: maximizes the kernel's skip-if-no-improvement
     # guard hit rate (see _sparse_kernel)
-    cand, count, _ = tile_candidates(qlo, qhi, prep["lo"], prep["hi"], gate)
+    cand, count, _ = tile_candidates(qlo, qhi, prep["lo"], prep["hi"], gate,
+                                     n_cap=cap if cap < n_tt else None)
 
     q2 = jnp.sum(q_xyz * q_xyz, axis=0, keepdims=True)                  # (1,Q)
 
