@@ -48,7 +48,7 @@ from semicp.slam.keyframes import KeyframeStore, keyframe_due, semantic_descript
 from semicp.slam.loop_closure import (
     edge_info_from_hessian,
     propose_loop_closures,
-    verify_loop_closure,
+    verify_loop_closures_batched,
 )
 from semicp.slam.pose_graph import PoseGraph, add_edge, add_pose, optimize_pose_graph
 from semicp.slam.submap import build_submap
@@ -337,9 +337,11 @@ def run_slam(args, cfg: Config):
                     poses_now = np.asarray(graph.poses, np.float64)
                     cands = propose_loop_closures(store, kf, poses_now, cfg)
                     accepted = []
-                    for c in cands[:cfg.slam.lc_max_candidates]:
-                        ok, Zl, info, Hl = verify_loop_closure(
-                            store, c, kf.index, poses_now, cfg)
+                    # all candidates verified in ONE batched wide-gate
+                    # align (loop_closure.verify_loop_closures_batched)
+                    for c, ok, Zl, info, Hl in verify_loop_closures_batched(
+                            store, cands[:cfg.slam.lc_max_candidates],
+                            kf.index, poses_now, cfg):
                         if ok:
                             graph = add_edge(graph, c, kf.index,
                                              Zl.astype(np.float32), info,

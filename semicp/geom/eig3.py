@@ -46,7 +46,10 @@ def eigvals3x3(A):
         - a01 * (a01 * b22 - a12 * a02)
         + a02 * (a01 * a12 - b11 * a02)
     )
-    r = jnp.clip(detb / (2.0 * p * p * p), -1.0, 1.0)
+    # p^3 ~ 1e-30 stays normal here (p >= 1e-10 via the 1e-20 clip), but
+    # clamp anyway so an isotropic input can never reach 0/0 (sibling of
+    # the sym3.eigvals underflow the SEMICP_DEBUG_NANS lane caught)
+    r = jnp.clip(detb / jnp.maximum(2.0 * p * p * p, 1e-30), -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     e1 = q + 2.0 * p * jnp.cos(phi)
     e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)

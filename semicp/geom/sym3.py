@@ -149,7 +149,11 @@ def eigvals(c):
     detb = (b00 * (b11 * b22 - yz * yz)
             - xy * (xy * b22 - yz * xz)
             + xz * (xy * yz - b11 * xz))
-    r = jnp.clip(detb / (2.0 * p * p * p), -1.0, 1.0)
+    # p >= ~1e-15 after the clip, but p^3 ~ 1e-45 UNDERFLOWS f32 to 0 for
+    # isotropic matrices -> 0/0 NaN (caught by the SEMICP_DEBUG_NANS
+    # lane; masked downstream by near_diag, but jax_debug_nans traps at
+    # the primitive). Clamp the denominator instead.
+    r = jnp.clip(detb / jnp.maximum(2.0 * p * p * p, 1e-30), -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     e1 = q + 2.0 * p * jnp.cos(phi)
     e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
