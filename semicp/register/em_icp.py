@@ -110,6 +110,16 @@ def _estep(tgt_prep, src: Cloud, log_sem, T, cfg: Config, gate, interpret: bool)
 
     kind, prep = tgt_prep
     if kind == "sparse":
+        if cfg.em.fused_estep:
+            # one-kernel path: NN + weights + class reduction fused,
+            # no (K,16,N) HBM intermediate (register/pallas_fused.py)
+            from semicp.register.pallas_fused import estep_sparse_fused
+
+            rc = jnp.stack(sym3.rotate(R, tuple(src.cov6)))
+            return estep_sparse_fused(
+                prep, moved_arr, src.valid, rc, log_sem,
+                num_classes=K, gate=gate, interpret=interpret,
+            )
         nn_d2, attrs = class_nn_attrs_sparse(
             prep, moved_arr, src.valid, num_classes=K,
             gate=gate, interpret=interpret,

@@ -49,8 +49,16 @@ def gn_solve(T0, src_planes, a6, b3, c, cfg: GNConfig,
     Returns (T, final_cost, last_step_norm, H (6,6) at the final T).
     """
 
-    def body(_, carry):
-        T, lam, prev_cost, _step, _H = carry
+    def cond(carry):
+        _T, _lam, _cost, step, _H, it = carry
+        # early exit at cfg.step_eps, Ceres-style: the frozen-
+        # correspondence LM typically converges in 2-3 of the 8
+        # budgeted iterations (the step norm is psum-replicated when
+        # sharded, so every shard agrees on the trip count)
+        return (it < cfg.max_iters) & (step > cfg.step_eps)
+
+    def body(carry):
+        T, lam, prev_cost, _step, _H, it = carry
         p = apply_T_planar(T, src_planes)           # (N,) planes
         H, g, cost = normal_equations_collapsed(a6, b3, c, p)
         if axis_name is not None:
@@ -65,11 +73,12 @@ def gn_solve(T0, src_planes, a6, b3, c, cfg: GNConfig,
         worse = (prev_cost >= 0.0) & (cost > prev_cost)
         lam_new = jnp.where(worse, lam * cfg.lm_up, jnp.maximum(lam * cfg.lm_down, cfg.lm_lambda0))
         step = jnp.linalg.norm(delta)
-        return (T_new, lam_new, cost, step, H)
+        return (T_new, lam_new, cost, step, H, it + 1)
 
     lam0 = jnp.asarray(cfg.lm_lambda0, jnp.float32)
     H0 = jnp.zeros((6, 6), jnp.float32)
-    T, _, cost, step, H = jax.lax.fori_loop(
-        0, cfg.max_iters, body, (T0, lam0, jnp.float32(-1.0), jnp.float32(0.0), H0)
+    T, _, cost, step, H, _ = jax.lax.while_loop(
+        cond, body,
+        (T0, lam0, jnp.float32(-1.0), jnp.float32(jnp.inf), H0, jnp.int32(0))
     )
     return T, cost, step, H

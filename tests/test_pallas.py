@@ -130,6 +130,57 @@ def test_class_nn_sparse_shape_contract(rng):
         prepare_sparse(_cloud(xyz, lab, cov6, val), 4, cell=1.0, tb=512)
 
 
+def check_fused_estep_matches_composed(rng, N=1024, K=5, gate=2.0,
+                                       extent=10.0, interpret=True):
+    """The one-kernel fused sparse E-step (register.pallas_fused) must
+    equal the composed pipeline (exact per-class NN -> estep reduce) —
+    shared assert body, also run compiled by the TPU lane."""
+    from semicp.register.pallas_fused import estep_sparse_fused
+
+    xyz = jnp.asarray(rng.normal(size=(3, N)).astype(np.float32) * extent)
+    lab = jnp.asarray(rng.integers(0, K, size=N).astype(np.int32))
+    val = jnp.asarray(rng.uniform(size=N) > 0.1)
+    # SPD-ish covariances (regularized-GICP-like) so the weight math is
+    # well-conditioned, as in the product path
+    d = rng.uniform(0.3, 1.0, size=(3, N)).astype(np.float32)
+    cov6 = jnp.asarray(np.concatenate(
+        [d, rng.normal(size=(3, N)).astype(np.float32) * 0.05]))
+    q = jnp.asarray(rng.normal(size=(3, N)).astype(np.float32) * extent)
+    qval = jnp.asarray(rng.uniform(size=N) > 0.05)
+    rc = jnp.asarray(np.concatenate(
+        [rng.uniform(0.3, 1.0, size=(3, N)).astype(np.float32),
+         rng.normal(size=(3, N)).astype(np.float32) * 0.05]))
+    log_sem = jnp.asarray((rng.normal(size=(K, N)) * 0.5).astype(np.float32))
+
+    # composed reference: exact NN + XLA reduce (the r3 product path)
+    d2_x, at_x = class_nn_attrs_xla(xyz, lab, val, cov6, q, K)
+    from semicp.register.pallas_estep import estep_reduce_xla
+
+    moved = jnp.stack([q[0], q[1], q[2]])
+    a_r, b_r, c_r, w_r = estep_reduce_xla(d2_x, at_x, rc, moved, log_sem,
+                                          qval, gate * gate)
+
+    prep = prepare_sparse(_cloud(xyz, lab, cov6, val), K, cell=1.0, tb=256)
+    a_f, b_f, c_f, w_f = estep_sparse_fused(prep, q, qval, rc, log_sem,
+                                            num_classes=K, gate=gate,
+                                            qb=256, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_r),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(b_f), np.asarray(b_r),
+                               rtol=3e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_r),
+                               rtol=3e-3, atol=2e-2)
+
+
+def test_fused_estep_matches_composed(rng):
+    check_fused_estep_matches_composed(rng)
+
+
+def test_fused_estep_tight_gate(rng):
+    check_fused_estep_matches_composed(rng, K=3, gate=0.7)
+
+
 def make_estep_fixture(rng, K=6, N=1024, gate=2.0):
     """Random NN-kernel-shaped inputs with SPD combined covariances."""
     spd = rng.normal(size=(N, 3, 3))

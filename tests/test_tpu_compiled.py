@@ -37,9 +37,14 @@ if not (_lane and _have_tpu):
 from test_pallas import (  # noqa: E402  (tests dir is on sys.path)
     check_dense_matches_xla,
     check_estep_reduce,
+    check_fused_estep_matches_composed,
     check_sparse_matches_xla_within_gate,
     scene,  # noqa: F401  fixture re-export
 )
+
+
+def test_fused_estep_compiled(rng):
+    check_fused_estep_matches_composed(rng, N=2048, K=5, interpret=False)
 
 
 def test_dense_nn_compiled(scene):
@@ -112,6 +117,34 @@ def test_cov_moments_sparse_compiled(rng):
     valid = np.asarray(c.valid) & (m_x[0] >= 3)
     np.testing.assert_allclose(to_cov(m_s)[:, valid], to_cov(m_x)[:, valid],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_ring_sparse_compiled(rng):
+    """The map-scale ring path (block-sparse kernel per ring step) on the
+    real chip must match the brute-force reference within the gate."""
+    import jax.numpy as jnp
+
+    from semicp.corr.bruteforce import class_nn
+    from semicp.dist import make_mesh
+    from semicp.dist.ring_corr import make_ring_nn
+
+    K, gate, N = 6, 2.0, 32768
+    xyz = jnp.asarray(rng.normal(size=(3, N)).astype(np.float32) * 20)
+    lab = jnp.asarray(rng.integers(0, K, size=N).astype(np.int32))
+    val = jnp.asarray(rng.uniform(size=N) > 0.1)
+    cov6 = jnp.asarray(rng.normal(size=(6, N)).astype(np.float32))
+    q = xyz[:, :4096]
+
+    mesh = make_mesh({"blocks": 1})
+    ring = make_ring_nn(mesh, num_classes=K, engine="sparse", gate=gate)
+    d2, _ = ring(q, xyz, lab, val, cov6)
+    _, d2_ref = class_nn(xyz, jnp.maximum(lab, 0), val, q, K)
+    d2, d2_ref = np.asarray(d2), np.asarray(d2_ref)
+    inside = d2_ref <= gate * gate * (1 - 1e-5)
+    assert inside.any()
+    # expanded-form cancellation at this extent is ~1e-2 absolute
+    np.testing.assert_allclose(d2[inside], d2_ref[inside],
+                               rtol=1e-4, atol=2e-2)
 
 
 @pytest.mark.parametrize("engine", ["dense", "sparse"])
