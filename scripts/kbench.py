@@ -18,6 +18,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["SEMICP_KBENCH"] = "1"  # unlock the stage attribution stubs
 
 
 def drain(out):
@@ -94,9 +95,7 @@ def main():
     # pallas_nn2._sparse_kernel)
     for stage, label in ((1, "no sel/merge (d2+min+onehot)"),
                          (2, "d2+min only, static class"),
-                         (3, "DMA + loop only"),
-                         (8, "full sel path, no guard machinery"),
-                         (9, "guard + writes, no onehot/matmul")):
+                         (3, "DMA + loop only")):
         fn = lambda: class_nn_attrs_sparse(  # noqa: E731
             prep, q, src.valid, num_classes=n_classes,
             gate=cfg.corr.max_dist, stage=stage)
