@@ -74,10 +74,10 @@ def main():
           f"gate={cfg.corr.max_dist} dev={jax.devices()[0].platform}")
     gate2 = cfg.corr.max_dist ** 2
     ref = None
-    for guard in (True, False):
+    for merge, guard in (("twophase", True), ("plane", True), ("rmw", True)):
         fn = lambda: class_nn_attrs_sparse(  # noqa: E731
             prep, q, src.valid, num_classes=n_classes,
-            gate=cfg.corr.max_dist, guard=guard)
+            gate=cfg.corr.max_dist, guard=guard, merge=merge)
         ms = steady(fn)
         d2, at = fn()
         if ref is None:
@@ -88,19 +88,24 @@ def main():
             f = ref <= gate2 * (1 - 1e-5)
             err = np.abs(np.asarray(d2)[f] - ref[f]).max() if f.any() else 0
             assert err < 1e-2, f"variant disagrees within gate: {err}"
-        print(f"  guard={int(guard)}: {ms:8.2f} ms/call")
+        print(f"  merge={merge} guard={int(guard)}: {ms:8.2f} ms/call")
 
     # cost-attribution ladder: successively stubbed kernel stages bound
     # where the per-candidate time actually goes (stage docstrings in
-    # pallas_nn2._sparse_kernel)
-    for stage, label in ((1, "no sel/merge (d2+min+onehot)"),
-                         (2, "d2+min only, static class"),
-                         (3, "DMA + loop only")):
+    # pallas_nn2._sparse_kernel). Stages 1-3 ladder the single-loop
+    # paths (merge="rmw"); 11/13/15 ladder the twophase product path.
+    for merge, stage, label in (
+            ("rmw", 1, "no sel/merge (d2+min+onehot)"),
+            ("rmw", 2, "d2+min only, static class"),
+            ("rmw", 3, "DMA + loop only"),
+            ("twophase", 11, "phase 1 only (min-accumulate)"),
+            ("twophase", 13, "no select matmul"),
+            ("twophase", 15, "HIGHEST 6-pass select matmul")):
         fn = lambda: class_nn_attrs_sparse(  # noqa: E731
             prep, q, src.valid, num_classes=n_classes,
-            gate=cfg.corr.max_dist, stage=stage)
+            gate=cfg.corr.max_dist, stage=stage, merge=merge)
         ms = steady(fn)
-        print(f"  stage {stage} [{label}]: {ms:8.2f} ms/call")
+        print(f"  {merge} stage {stage} [{label}]: {ms:8.2f} ms/call")
 
     # tile-shape sweep: per-pass fixed overhead dominates (see ladder),
     # so fewer/fatter passes trade elementwise waste for fixed cost

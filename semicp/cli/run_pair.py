@@ -48,7 +48,8 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = build_parser()
     args, extra = ap.parse_known_args(argv)
-    cfg = Config().override(parse_overrides(extra))
+    overrides = parse_overrides(extra)
+    cfg = Config().override(overrides)
 
     timer = PhaseTimer()
     if args.synthetic:
@@ -59,7 +60,8 @@ def main(argv=None):
         tgt_lab = tgt_lab - 1
         delta = np.array([0.4, -0.2, 0.05, 0.02, -0.01, 0.05])
         src_pts, src_lab, T_gt = make_pair(rng, tgt_pts, tgt_lab, delta, n_classes=6)
-        cfg = cfg.override({"cloud.num_classes": 8})
+        if "cloud.num_classes" not in overrides:   # never clobber the user's
+            cfg = cfg.override({"cloud.num_classes": 8})
     else:
         if not (args.src and args.tgt):
             ap.error("--src/--tgt or --synthetic required")

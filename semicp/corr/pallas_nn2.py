@@ -215,7 +215,7 @@ def prepare_sparse(cloud, num_classes: int, cell: float, tb: int = TB) -> dict:
 def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
                    qxyz, q2, attrs_hbm,
                    out_d2, out_attr, slab, sem, *, qb, tb, num_classes,
-                   guard=True, stage=0):
+                   guard=True, stage=0, merge="plane"):
     """Query-stationary block-sparse NN.
 
     One grid program per query tile; an inner fori_loop walks ONLY that
@@ -224,32 +224,39 @@ def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
     pruned programs predicated off — at 120k points, ~60k no-op
     programs' fixed grid overhead dominated (55 ms/call). v3 walked
     candidates nearest-box-first at ~9.4 us per candidate tile pair.
+    v4 (merge="rmw", kept for kbench) guarded the winner-select with a
+    skip-if-no-improvement @pl.when around pl.ds-indexed RMW merges:
+    36.8 ms at the bench workload, ~27 ms of it in that cluster.
 
-    v4 is shaped by the kbench attribution ladder (quiet v5e, 120k pts
-    / 20 classes / 5062 candidate pairs): DMA+loop 3.0 ms, +VPU d2+min
-    7.9 ms, +class loop 9.5 ms — everything else was the winner-select
-    + merge machinery. Measured and rejected on the way: d2 as an MXU
-    f32-HIGHEST matmul against the slab (+6.6 ms — Mosaic emulates f32
-    matmuls in multiple bf16 passes), an exact bf16x3 split of the
-    select matmul (neutral: the matmul was never the bottleneck), and
-    a run-accumulator merge replacing the K-indexed RMW (+4.7 ms).
-    What it keeps:
+    v5 (merge="twophase", the product path) comes from one more ladder
+    step that finally attributed the cluster: a pure min-ACCUMULATE
+    plane merge (`out[:] = minimum(out[:], upd)`) costs ~0.2 us/pass —
+    BELOW the old stage-1 floor — while ANY read-then-compare of the
+    accumulator (`m < out_d2[:]`, or the guarded pl.ds RMW) pays a
+    serialized VMEM round trip of ~2-4 us/pass. The fix is structural:
+    never read-compare. Two passes over the candidate list:
 
-    * skip-if-no-improvement guard: candidates walk nearest-box-first,
-      so many passes improve NOTHING and skip select/merge entirely
-      (@pl.when on a did-any-improve scalar; measured -10 ms).
-    * the winner one-hot comes from a constant-select jnp.where (no
-      bool->narrow-dtype relayout; the astype cost ~6 ms).
-    * the class loop stays a DYNAMIC fori over the tile's [cmin,
-      cmax] range with pl.ds-indexed merges. Measured and rejected
-      alternatives for the ~14 ms of merge-write overhead: 2-D
-      (K*NATTR, q) outputs with sublane-aligned dynamic slices
-      (neutral), lane-interleaved (1, K*qb) outputs with 128-aligned
-      dynamic lane slices (slower everywhere, even the DMA-only
-      ladder floor), and a static unroll over K with predicated
-      bodies, the dense kernel's scheme (catastrophic here: 279
-      ms/call — ~20 predicated vector bodies per candidate all pay,
-      where the dense kernel's grid pays them once per (qt, tt) pair).
+    * Phase 1 walks candidates accumulating per-class minima into the
+      (K, qb) plane with jnp.minimum only (7.1 ms incl. DMA at the
+      bench workload).
+    * Phase 2 re-walks (re-DMA — DMA is issue-bound, ~3 ms, and
+      overlapped), rebuilds each tile's local minima, and gates the
+      one-hot select by `local min <= final best` — a branchless
+      full-plane compare against a loop-carried copy of the FINAL
+      minima read once. Winner rows accumulate ADDITIVELY (cross-tile
+      contributions are disjoint except exact ties, which sum and are
+      averaged by a single end normalization via ROW_CNT).
+    * The select matmul runs as a bf16x3 split in f32 containers at
+      DEFAULT precision (3 MXU passes, lossless for bf16-representable
+      terms); HIGHEST's 6-pass f32 emulation costs +2.9 ms (stage 15).
+
+    Bench workload (quiet v5e, 120k pts / 20 classes / ~5062 candidate
+    pairs): 16.8 ms/call vs v4's 36.8 — and the guard, the pl.ds RMW,
+    and the @pl.when conditionals are gone entirely from the product
+    path. Measured and rejected across v4/v5: MXU f32-HIGHEST distance
+    tiles (+6.6 ms), run-accumulator merge (+4.7 ms), static-K unroll
+    (279 ms), qb=512 (+4 ms), tb=2048 (+7 ms), full-plane merge with
+    read-compare `better` masks (merge="plane": 32.9 ms).
     """
     i = pl.program_id(0)
     cnt = count_ref[i]
@@ -267,6 +274,136 @@ def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
 
     vqx, vqy, vqz = qxyz[0, :], qxyz[1, :], qxyz[2, :]
     vq2 = q2[0, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (num_classes, qb), 0)
+
+    if merge == "twophase":
+        # r5 product path, shaped by this round's attribution ladder:
+        # a pure min-ACCUMULATE plane merge costs ~0.2 us/pass (Mosaic
+        # pipelines it; stage-8 probe ran at 7.1 ms, under the stage-1
+        # floor), while ANY pattern that reads the accumulator and
+        # compares (`m < out_d2[:]`, or the old guarded pl.ds RMW)
+        # pays a serialized VMEM round trip of ~2-4 us/pass — that was
+        # the r4 kernel's entire ~27 ms overhead. So: two passes over
+        # the candidate list, neither of which ever read-compares.
+        #   Phase 1: d2-only walk, per-class minima merged with
+        #            jnp.minimum into the (K, qb) plane.
+        #   Phase 2: out_d2 is FINAL; re-DMA each tile, rebuild its
+        #            local minima, and gate the one-hot select by
+        #            `m <= best[k]` (a lane-wise scalar-free compare).
+        #            Winner rows accumulate ADDITIVELY — contributions
+        #            from different tiles are disjoint except exact
+        #            cross-tile ties, which sum and are averaged by the
+        #            single end normalization (ROW_CNT carries the
+        #            total tie count).
+        def body1(c, carry):
+            slot = c % 2
+
+            @pl.when(c + 1 < cnt)
+            def _():
+                tile_dma((c + 1) % 2, c + 1).start()
+
+            tile_dma(slot, c).wait()
+            t = slab[slot]
+            d2 = (vq2[:, None] + t[ROW_T2][None, :]
+                  - 2.0 * vqx[:, None] * t[0][None, :]
+                  - 2.0 * vqy[:, None] * t[1][None, :]
+                  - 2.0 * vqz[:, None] * t[2][None, :])
+            lab = t[ROW_LAB][None, :]
+
+            def p1(k, carry):
+                dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
+                m = jnp.min(dk, axis=1)
+                upd = jnp.where(rows == k, m[None, :], INF)
+                out_d2[:] = jnp.minimum(out_d2[:], upd)
+                return carry
+
+            tid = cand_ref[i, c]
+            return jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1,
+                                     p1, carry)
+
+        jax.lax.fori_loop(0, cnt, body1, jnp.int32(0))
+
+        if stage == 11:                     # attribution: phase 1 only
+            cntrow = out_attr[:, ROW_CNT, :]
+            recip = 1.0 / jnp.maximum(cntrow, 1.0)
+            out_attr[:, :10, :] = out_attr[:, :10, :] * recip[:, None, :]
+            out_attr[:, 10:, :] = jnp.zeros_like(out_attr[:, 10:, :])
+            return
+
+        @pl.when(cnt > 0)
+        def _():
+            tile_dma(0, 0).start()          # restart pipeline for phase 2
+
+        bestall = out_d2[:]                 # ONE read of the final minima;
+                                            # rides the fori carry so phase
+                                            # 2 never touches out_d2 again
+
+        def body2(c, bestall):
+            slot = c % 2
+
+            @pl.when(c + 1 < cnt)
+            def _():
+                tile_dma((c + 1) % 2, c + 1).start()
+
+            tile_dma(slot, c).wait()
+            t = slab[slot]
+            d2 = (vq2[:, None] + t[ROW_T2][None, :]
+                  - 2.0 * vqx[:, None] * t[0][None, :]
+                  - 2.0 * vqy[:, None] * t[1][None, :]
+                  - 2.0 * vqz[:, None] * t[2][None, :])
+            lab = t[ROW_LAB][None, :]
+
+            def p2(k, bestall):
+                dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
+                m = jnp.min(dk, axis=1)                # identical arith to p1
+                # winner gate fused into one (K, qb) plane: row k where
+                # this tile's local min equals the global best (<= since
+                # m >= best always), other rows masked by upd == INF
+                upd = jnp.where(rows == k, m[None, :], INF)
+                win = jnp.where((upd <= bestall) & (rows == k), 1.0, 0.0)
+                onehot = jnp.where(dk == m[:, None], 1.0, 0.0)
+                if stage == 13:  # attribution: skip the select matmul
+                    sel = t[:, 0:qb] + onehot[0:NATTR, 0:qb]
+                elif stage == 15:  # attribution: HIGHEST 6-pass emulation
+                    sel = jax.lax.dot_general(
+                        t, onehot,
+                        (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )                                  # (NATTR, qb)
+                else:
+                    # bf16x3 split in f32 CONTAINERS: each term's values
+                    # are bf16-representable, so DEFAULT precision (bf16
+                    # truncation, ONE MXU pass each) is lossless — 3
+                    # passes total vs HIGHEST's 6-pass f32 emulation.
+                    # The one-hot is exact 0/1 either way. Precision is
+                    # pinned HERE so the caller's matmul-precision
+                    # context (em_icp traces under "highest") cannot
+                    # silently double the kernel's MXU work.
+                    dot = lambda a: jax.lax.dot_general(  # noqa: E731
+                        a, onehot, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+                    t_hi = t.astype(jnp.bfloat16).astype(jnp.float32)
+                    r1 = t - t_hi
+                    t_mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                    t_lo = r1 - t_mid
+                    sel = dot(t_hi) + dot(t_mid) + dot(t_lo)
+                out_attr[:] = out_attr[:] + win[:, None, :] * sel[None]
+                return bestall
+
+            tid = cand_ref[i, c]
+            return jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1,
+                                     p2, bestall)
+
+        jax.lax.fori_loop(0, cnt, body2, bestall)
+
+        # exact-tie averaging, once per program (see class_pass "plane")
+        cntrow = out_attr[:, ROW_CNT, :]
+        recip = 1.0 / jnp.maximum(cntrow, 1.0)
+        out_attr[:, :10, :] = out_attr[:, :10, :] * recip[:, None, :]
+        out_attr[:, 10:, :] = jnp.zeros_like(out_attr[:, 10:, :])
+        return
 
     def body(c, carry):
         slot = c % 2
@@ -309,6 +446,57 @@ def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
         # Class-major sort makes a tile's classes the contiguous range
         # [cmin, cmax] (usually one class) — a DYNAMIC loop over that
         # range keeps cost and compile time independent of K.
+        if merge == "plane":
+            # r5 branchless merge: the r4 ladder attributed ~27 ms of the
+            # 36.8 ms call to the guarded select/merge cluster (~3.5-7 us
+            # per EXECUTED pass of @pl.when + pl.ds RMW machinery,
+            # resistant to every layout tried). This variant removes the
+            # conditional and the dynamic slices entirely: winners merge
+            # into the FULL (K, qb) / (K, NATTR, qb) planes with a
+            # row-mask select — ~82k lane-aligned VPU elements, well
+            # under the fixed cost of the branch+dynamic-slice cluster.
+            # Tie normalization (ROW_CNT) happens ONCE after the
+            # candidate loop: the merge REPLACES rows (never
+            # accumulates), so the final rows are plain sums of exact-
+            # tie winners and a single end normalization is equivalent.
+            def class_pass(k, carry):
+                dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
+                m = jnp.min(dk, axis=1)                # (qb,) exact f32 min
+                if stage == 7:  # attribution: fixed-row d2 merge only
+                    onehot = jnp.where(dk == m[:, None], 1.0, 0.0)
+                    out_d2[0:1, :] = jnp.minimum(
+                        out_d2[0:1, :], m[None, :] + onehot[:, 0][None, :])
+                    return carry
+                if stage == 8:  # attribution: plane merge via pure minimum
+                    upd = jnp.where(rows == k, m[None, :], INF)
+                    out_d2[:] = jnp.minimum(out_d2[:], upd)
+                    return carry
+                if stage == 9:  # attribution: plane read+compare, row write
+                    bet = (rows == k) & (m[None, :] < out_d2[:])
+                    out_d2[0:1, :] = jnp.minimum(
+                        out_d2[0:1, :],
+                        m[None, :] + bet[0:1, :].astype(jnp.float32))
+                    return carry
+                better = (rows == k) & (m[None, :] < out_d2[:])  # (K, qb)
+                onehot = jnp.where(dk == m[:, None], 1.0, 0.0)
+                if stage == 4:      # attribution: skip the select matmul
+                    sel = t[:, 0:qb] + onehot[0:NATTR, 0:qb]
+                else:
+                    sel = jax.lax.dot_general(
+                        t, onehot,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                  # (NATTR, qb)
+                out_d2[:] = jnp.where(better, m[None, :], out_d2[:])
+                if stage != 5:      # attribution: 5 = skip attr merge
+                    out_attr[:] = jnp.where(
+                        better[:, None, :], sel[None], out_attr[:])
+                return carry
+
+            tid = cand_ref[i, c]
+            return jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1,
+                                     class_pass, carry)
+
         def class_pass(k, carry):
             dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
             # m is always finite: class k has >= 1 valid column in this
@@ -348,6 +536,14 @@ def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
 
     jax.lax.fori_loop(0, cnt, body, jnp.int32(0))
 
+    if merge == "plane" and stage in (0, 4):
+        # exact-tie averaging, hoisted out of the per-pass loop: each
+        # winning row is the un-normalized sum over value-equal ties,
+        # with ROW_CNT holding the tie count (then 1.0 = found)
+        cntrow = out_attr[:, ROW_CNT, :]               # (K, qb)
+        recip = 1.0 / jnp.maximum(cntrow, 1.0)
+        out_attr[:, :10, :] = out_attr[:, :10, :] * recip[:, None, :]
+
     # contract: attr rows beyond the 10 (xyz, cov6, found) are zero —
     # the slab's t2/label transport rows must not leak to consumers
     out_attr[:, 10:, :] = jnp.zeros_like(out_attr[:, 10:, :])
@@ -355,10 +551,11 @@ def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_classes", "qb", "interpret",
-                                    "guard", "stage"))
+                                    "guard", "stage", "merge"))
 def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
                           gate, qb: int = QB, interpret: bool = False,
-                          guard: bool = True, stage: int = 0):
+                          guard: bool = True, stage: int = 0,
+                          merge: str = "twophase"):
     """Block-sparse per-class NN: class-major Morton tiles + AABB pruning.
 
     Same contract as `class_nn_attrs_pallas` for every correspondence
@@ -431,7 +628,7 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
 
     out_d2, out_attr = pl.pallas_call(
         functools.partial(_sparse_kernel, qb=qb, tb=tb, num_classes=K,
-                          guard=guard, stage=stage),
+                          guard=guard, stage=stage, merge=merge),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((K, q), jnp.float32),
