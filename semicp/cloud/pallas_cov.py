@@ -172,11 +172,11 @@ def _sparse_kernel(cand_ref, count_ref, ctr_ref, r2_ref,
             (tx * tx)[None], (ty * ty)[None], (tz * tz)[None],
             (tx * ty)[None], (tx * tz)[None], (ty * tz)[None],
         ], axis=0)                                     # (10, tb)
-        acc[:] += jax.lax.dot_general(
-            feats, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                              # (10, qb) on the MXU
+        # bf16x3 split (corr.mxu): centered coords keep every feats term
+        # O(r^2 + tile^2)-small, and w is exact 0/1 — 3 lossless MXU
+        # passes vs HIGHEST's 6-pass f32 emulation
+        from semicp.corr.mxu import dot_f32x3
+        acc[:] += dot_f32x3(feats, w, (((1,), (1,)), ((), ())))  # (10, qb)
 
     @pl.when(j == nj - 1)
     def _():

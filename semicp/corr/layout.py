@@ -37,12 +37,20 @@ LAYOUT_CM = "cm"  # class-major, Morton-within-class, invalid last
 
 
 def class_morton_order(xyz, label, valid, num_classes: int, cell: float):
-    """Permutation sorting by (class, Morton), invalid last (class = K)."""
+    """Permutation sorting by (class, Morton), invalid last (class = K).
+
+    One lexicographic lax.sort over (class, code) — 20 classes x 30
+    Morton bits exceeds an int32 key and TPUs have no int64, but a
+    two-key sort needs neither (and measured ~2x faster than the
+    two-pass stable-argsort composition it replaced).
+    """
+    import jax
+
     code = morton_codes(xyz, valid, cell)
-    cls = jnp.where(valid, jnp.maximum(label, 0), num_classes)
-    o1 = jnp.argsort(code, stable=True)
-    o2 = jnp.argsort(jnp.take(cls, o1), stable=True)
-    return jnp.take(o1, o2)
+    cls = jnp.where(valid, jnp.maximum(label, 0), num_classes).astype(jnp.int32)
+    iota = jnp.arange(cls.shape[0], dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((cls, code, iota), num_keys=2, is_stable=True)
+    return perm
 
 
 def sort_cloud_cm(cloud: Cloud, num_classes: int, cell: float) -> Cloud:

@@ -372,23 +372,13 @@ def _sparse_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
                         preferred_element_type=jnp.float32,
                     )                                  # (NATTR, qb)
                 else:
-                    # bf16x3 split in f32 CONTAINERS: each term's values
-                    # are bf16-representable, so DEFAULT precision (bf16
-                    # truncation, ONE MXU pass each) is lossless — 3
-                    # passes total vs HIGHEST's 6-pass f32 emulation.
-                    # The one-hot is exact 0/1 either way. Precision is
-                    # pinned HERE so the caller's matmul-precision
-                    # context (em_icp traces under "highest") cannot
-                    # silently double the kernel's MXU work.
-                    dot = lambda a: jax.lax.dot_general(  # noqa: E731
-                        a, onehot, (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.DEFAULT,
-                        preferred_element_type=jnp.float32)
-                    t_hi = t.astype(jnp.bfloat16).astype(jnp.float32)
-                    r1 = t - t_hi
-                    t_mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
-                    t_lo = r1 - t_mid
-                    sel = dot(t_hi) + dot(t_mid) + dot(t_lo)
+                    # bf16x3 split (corr.mxu): 3 lossless MXU passes vs
+                    # HIGHEST's 6-pass f32 emulation (-2.9 ms, stage 15).
+                    # Precision is pinned in the helper so the caller's
+                    # matmul-precision context (em_icp traces under
+                    # "highest") cannot silently double the MXU work.
+                    from semicp.corr.mxu import dot_f32x3
+                    sel = dot_f32x3(t, onehot, (((1,), (1,)), ((), ())))
                 out_attr[:] = out_attr[:] + win[:, None, :] * sel[None]
                 return bestall
 
