@@ -39,7 +39,7 @@ from semicp.cloud import make_cloud, preprocess_cloud
 from semicp.config import Config, parse_overrides
 from semicp.dist import batched_align, make_mesh
 from semicp.dist.batch import shard_batch
-from semicp.utils import MetricsLogger, PhaseTimer
+from semicp.utils import MetricsLogger, PhaseTimer, drain
 
 
 def build_parser():
@@ -151,7 +151,7 @@ def run_batch_slam(args, cfg: Config):
                 for s in range(S)
             ])
             batch = pre_batch(raw)
-            jax.block_until_ready(batch.cov6)
+            drain(batch.cov6)
         if prev is None:
             for s in range(S):
                 pts, lab = seqs[s][0][t]
@@ -166,7 +166,7 @@ def run_batch_slam(args, cfg: Config):
             src_b, tgt_b, T0_b = (shard_batch(mesh, x)
                                   for x in (batch, prev, jnp.asarray(T_rel_prev)))
             res = align_b(src_b, tgt_b, T0_b)
-            jax.block_until_ready(res.T)
+            drain(res.T)
         n_aligns += S
         T_rel_all = np.asarray(res.T, np.float64)
         H_all = np.asarray(res.H, np.float64)
@@ -249,7 +249,7 @@ def run_batch_slam(args, cfg: Config):
         for s in pgo_seqs:
             with timer.phase("pgo"):
                 graphs[s] = optimize_pose_graph(graphs[s], cfg.slam)
-                jax.block_until_ready(graphs[s].poses)
+                drain(graphs[s].poses)
             T_now[s] = np.asarray(graphs[s].poses, np.float64)[new_kf[s]]
         prev = batch
     wall = time.perf_counter() - t_start
@@ -332,13 +332,13 @@ def main(argv=None):
                 for s in range(S)
             ])
             batch = pre_batch(raw)
-            jax.block_until_ready(batch.cov6)
+            drain(batch.cov6)
         if prev is not None:
             with timer.phase("align_batch"):
                 src_b, tgt_b, T0_b = (shard_batch(mesh, x)
                                       for x in (batch, prev, jnp.asarray(T_rel_prev)))
                 res = align_b(src_b, tgt_b, T0_b)
-                jax.block_until_ready(res.T)
+                drain(res.T)
             T_rel = np.asarray(res.T, np.float64)
             T_rel_prev = np.asarray(res.T)
             for s in range(S):

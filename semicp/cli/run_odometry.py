@@ -27,7 +27,7 @@ import numpy as np
 from semicp.cli.common import setup_jax, load_scan_np, print_result, to_device_cloud
 from semicp.config import Config, parse_overrides
 from semicp.data import save_kitti_poses
-from semicp.utils import MetricsLogger, PhaseTimer
+from semicp.utils import MetricsLogger, PhaseTimer, drain
 
 
 def build_parser():
@@ -133,7 +133,7 @@ def run_odometry(args, cfg: Config):
             # prefetched next scan (slam/pipeline.py stage contract)
             cloud = to_device_cloud(pts, lab, cfg)
             if serial:
-                jax.block_until_ready(cloud.cov6)
+                drain(cloud.cov6)
         if prev_cloud is not None:
             with timer.phase("align"):
                 # dispatch align(t); the aligner warm-starts from the

@@ -23,7 +23,7 @@ import numpy as np
 from semicp.config import Config, parse_overrides
 from semicp.cli.common import setup_jax, load_scan_np, print_result, to_device_cloud
 from semicp.register import make_align_fn
-from semicp.utils import MetricsLogger, PhaseTimer
+from semicp.utils import MetricsLogger, PhaseTimer, drain
 
 
 def build_parser():
@@ -73,23 +73,23 @@ def main(argv=None):
     with timer.phase("preprocess"):
         src = to_device_cloud(src_pts, src_lab, cfg)
         tgt = to_device_cloud(tgt_pts, tgt_lab, cfg)
-        jax.block_until_ready((src.cov6, tgt.cov6))
+        drain((src.cov6, tgt.cov6))
 
     align_fn = make_align_fn(cfg)
     with timer.phase("compile+first_align"):
         res = align_fn(src, tgt)
-        jax.block_until_ready(res.T)
+        drain(res.T)
     if args.profile:
         # SURVEY.md §5 tracing: capture the steady-state align under the
         # profiler (block_until_ready discipline for honest spans)
         with jax.profiler.trace(args.profile):
             res = align_fn(src, tgt)
-            jax.block_until_ready(res.T)
+            drain(res.T)
         print(f"profile written to {args.profile}", file=sys.stderr)
     for _ in range(args.repeat - 1):
         with timer.phase("align"):
             res = align_fn(src, tgt)
-            jax.block_until_ready(res.T)
+            drain(res.T)
 
     T = np.asarray(res.T, np.float64)
     out = {

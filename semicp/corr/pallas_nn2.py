@@ -570,6 +570,14 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     n = prep["xyz_s"].shape[1]
     q = q_xyz.shape[1]
     qb = min(qb, q)
+    # SMEM scales with the GRID LENGTH (per-program prefetch
+    # bookkeeping), not just the candidate-list width: 2048 programs
+    # measured 13 KB over the 1 MB SMEM space at ANY cand cap, while
+    # qb=512 at the same Q compiles (r5). Keep the grid <= 1024
+    # programs; beyond qb=512 (Q > 512k) shard queries over the mesh
+    # (ring/DP) instead of widening further (qb=1024 fails compile).
+    while q // qb > 1024 and qb < 512:
+        qb *= 2
     assert q % qb == 0, (
         f"class_nn_attrs_sparse: Q={q} must be a multiple of the query "
         f"block qb={qb} (pad queries to a power of two >= {qb})")
@@ -586,7 +594,11 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     # scale: n_tt=128 < cap=128)
     n_tt = prep["lo"].shape[0]
     n_qt = q // qb
-    cap = min(n_tt, max(32, (1 << 16) // max(n_qt, 1)))
+    # budget 56K entries with a floor of 24: at 512k queries
+    # (n_qt=2048) the old 64K-entry/floor-32 formula left the kernel
+    # 13 KB over the 1 MB SMEM cap (measured r5); 24 candidates/tile
+    # still never bind at sane densities (bench avg ~11 boxes in gate)
+    cap = min(n_tt, max(24, (56 * 1024) // max(n_qt, 1)))
     # nearest-box-first: maximizes the kernel's skip-if-no-improvement
     # guard hit rate (see _sparse_kernel)
     cand, count, _ = tile_candidates(qlo, qhi, prep["lo"], prep["hi"], gate,

