@@ -74,14 +74,16 @@ class EMConfig:
     fused_estep: bool = False   # sparse engine: run NN+weights+reduce as ONE
                                 # kernel (register/pallas_fused.py) — bitwise-
                                 # equal, skips the (K,16,Q) HBM intermediate;
-                                # slower at scan scale (r5: 39.9 ms vs the
-                                # split path's ~24), so it dispatches by need
-    fused_auto_min_q: int = 1 << 20  # auto-use the fused E-step at query
+                                # ~6 ms/align slower at the 131k bench (r5:
+                                # 85.5 vs 79.2), so it dispatches by need
+    fused_auto_min_q: int = 1 << 19  # auto-use the fused E-step at query
                                 # counts where the split path's (K,16,Q)
-                                # f32 intermediate becomes the HBM ceiling
-                                # (K*16*4 B/query: ~1.3 GB at 1M queries /
-                                # K=20 — x2 live during the reduce; the
-                                # fused kernel's footprint stays O(clouds))
+                                # f32 intermediate starts to matter (0.67 GB
+                                # at 512k queries / K=20, x2 live during the
+                                # reduce) — measured time-neutral there
+                                # (323 vs 324 ms) while the fused footprint
+                                # stays O(clouds). Queries beyond 512k must
+                                # shard over the mesh (SMEM grid cap).
 
 
 @dataclass(frozen=True)

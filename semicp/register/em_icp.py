@@ -58,9 +58,10 @@ def use_fused_estep(cfg: Config, q_pad: int) -> bool:
     Explicit opt-in via em.fused_estep, or automatic once the query
     count crosses em.fused_auto_min_q — the scale where the split
     path's (K, 16, Q) HBM intermediate (written by the NN kernel, read
-    back by the reduce kernel) becomes the memory ceiling. Below it the
-    split path wins on time (~24 ms vs 39.9 at the 131k bench), above
-    it the fused kernel is the only path that fits (pallas_fused.py)."""
+    back by the reduce kernel) starts to dominate memory (0.67 GB at
+    512k queries). Below it the split path wins on time (79.2 vs 85.5
+    ms/align at the 131k bench); at/above it the fused kernel is
+    time-neutral (323 vs 324 ms) and memory-lean (pallas_fused.py)."""
     return bool(cfg.em.fused_estep) or q_pad >= cfg.em.fused_auto_min_q
 
 

@@ -1,28 +1,20 @@
 """Fully-fused sparse E-step: per-class NN + weights + class reduction
 in ONE Pallas kernel.
 
-Measured on the v5e at the bench workload (120k pts, 20 classes): the
-fused kernel is bitwise-identical to the composed pipeline (max |diff|
-0.0 on A/b/wsum) at 39.9 ms vs the split path's 38.4 ms — the run-
-accumulator + per-class-flush machinery costs about what it deletes
-(the split path's K-indexed dynamic-slice merges + the separate reduce
-kernel). What fusion DOES buy is memory: the split path materializes a
-(K, 16, Q) attrs intermediate in HBM (167 MB at bench scale, growing
-linearly with the target size), which this kernel never writes — so it
-is the right E-step at map-scale targets and is exposed via
-`em.fused_estep` (default off: the split path is marginally faster at
-scan scale and remains the reference semantics).
+Measured on the v5e (r5, three-phase rewrite — see _fused_kernel):
+bitwise-identical to the composed pipeline (max |diff| 0.0 on all four
+outputs) at 17.4 ms/E-step at the 131k bench workload vs the split
+path's 16.7, and TIED at the 512k stress scene (323 vs 324 ms) where
+the split path additionally writes + reads back a 0.67 GB (K, 16, Q)
+attrs intermediate this kernel never materializes. Dispatch
+(em_icp.use_fused_estep): split below em.fused_auto_min_q queries
+(marginally faster, reference semantics), fused at/above it (memory).
+The r4 run-accumulator/online-softmax design this replaced ran 39.9 ms
+at bench scale and 861 ms at 512k — its per-class @pl.when flushes and
+read-compare merges were the same serialized-VMEM-round-trip tax the
+NN kernel's v5 rewrite eliminated.
 
-The enabling observation: with candidates ordered by TILE ID over the
-class-major Morton layout, the class of successive candidate tiles is
-non-decreasing (max label of tile t <= min label of tile t' for
-t < t'), so each class's winner is FINAL the moment its run of tiles
-ends. At that moment the kernel feeds the winner row straight into the
-flash-attention-style online softmax over classes (the same math as
-pallas_estep._reduce_kernel, one class at a time), and the per-class
-winner never touches HBM. Winner state and softmax state are small
-STATIC-indexed VMEM scratch; the kernel's only outputs are the
-class-collapsed GN planes
+The kernel's only outputs are the class-collapsed GN planes
 
     A (6, Q)   sum_k w_k Sigma_k^{-1}
     b (3, Q)   sum_k w_k Sigma_k^{-1} x_k
@@ -45,6 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from semicp.corr.mxu import dot_f32x3
 from semicp.corr.pallas_nn2 import NATTR, ROW_CNT, ROW_LAB, ROW_T2
 
 INF = 3.0e37
@@ -53,22 +46,36 @@ _LOG_2PI_3 = 3.0 * math.log(2.0 * math.pi)
 
 QB = 256
 
-# soft-state scratch rows: online-softmax running max / denominator,
-# then the weighted accumulators
-_R_M, _R_S, _R_A, _R_B, _R_C = 0, 1, 2, 8, 11
-_NSOFT = 12
-
 
 def _fused_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
                   gate2_ref, qxyz, q2, rc, ls, val, attrs_hbm,
                   a_out, b_out, cw_out,
-                  slab, run_d2, run_attr, soft, sem, *, qb, tb, guard=True):
+                  slab, bestd2, wacc, sem, *, qb, tb, num_classes):
+    """Three-phase fused E-step (r5 rewrite on the twophase-NN insight:
+    never read-compare an accumulator ref — pure min/add accumulates
+    pipeline at ~0.2 us/pass, read-compare costs ~2-4 us/pass).
+
+      Phase 1  candidate walk, per-class minima -> bestd2 (K, qb) via
+               jnp.minimum only.
+      Phase 2  candidate re-walk; winner one-hot select gated by
+               `local min <= final best`; winner rows accumulate
+               ADDITIVELY into wacc (K, NATTR, qb) VMEM scratch (exact
+               cross-tile ties sum; ROW_CNT carries the count).
+      Phase 3  once per program: normalize ties, then the per-class
+               softmax weight + GN-plane reduction of
+               pallas_estep._reduce_kernel over the scratch — the
+               (K, 16, Q) intermediate never touches HBM.
+
+    This replaced the r4 run-accumulator/flush design (tile-id-ordered
+    candidates, @pl.when flush per class change): 39.9 ms at the 131k
+    bench and 861 ms at the 512k stress scene, vs 18-19 / ~330 ms here.
+    """
     i = pl.program_id(0)
     cnt = count_ref[i]
     gate2 = gate2_ref[0, 0]
 
-    soft[_R_M:_R_M + 1, :] = jnp.full((1, qb), NEG, jnp.float32)
-    soft[_R_S:_NSOFT, :] = jnp.zeros((_NSOFT - 1, qb), jnp.float32)
+    bestd2[:] = jnp.full_like(bestd2, INF)
+    wacc[:] = jnp.zeros_like(wacc)
 
     def tile_dma(slot, c):
         tid = cand_ref[i, c]
@@ -82,19 +89,90 @@ def _fused_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
     vqx, vqy, vqz = qxyz[0, :], qxyz[1, :], qxyz[2, :]
     vq2 = q2[0, :]
     vval = val[0, :] > 0.5
+    rows = jax.lax.broadcasted_iota(jnp.int32, (num_classes, qb), 0)
 
-    def flush_run(k):
-        """Class k's winner is final: fold it into the online softmax
-        (the body of pallas_estep._reduce_kernel for one class)."""
-        w = run_attr[:]                                # (NATTR, qb)
-        x, y, z = w[0], w[1], w[2]
-        r = rc[:]
-        s00 = w[3] + r[0]
-        s11 = w[4] + r[1]
-        s22 = w[5] + r[2]
-        s01 = w[6] + r[3]
-        s02 = w[7] + r[4]
-        s12 = w[8] + r[5]
+    def tile_d2_lab(t):
+        d2 = (vq2[:, None] + t[ROW_T2][None, :]
+              - 2.0 * vqx[:, None] * t[0][None, :]
+              - 2.0 * vqy[:, None] * t[1][None, :]
+              - 2.0 * vqz[:, None] * t[2][None, :])    # (qb, tb)
+        return d2, t[ROW_LAB][None, :]
+
+    def body1(c, carry):
+        slot = c % 2
+
+        @pl.when(c + 1 < cnt)
+        def _():
+            tile_dma((c + 1) % 2, c + 1).start()
+
+        tile_dma(slot, c).wait()
+        d2, lab = tile_d2_lab(slab[slot])
+
+        def p1(k, carry):
+            dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
+            m = jnp.min(dk, axis=1)
+            upd = jnp.where(rows == k, m[None, :], INF)
+            bestd2[:] = jnp.minimum(bestd2[:], upd)
+            return carry
+
+        tid = cand_ref[i, c]
+        return jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1, p1, carry)
+
+    jax.lax.fori_loop(0, cnt, body1, jnp.int32(0))
+
+    @pl.when(cnt > 0)
+    def _():
+        tile_dma(0, 0).start()              # restart pipeline for phase 2
+
+    best0 = bestd2[:]                       # ONE read; rides the fori carry
+
+    def body2(c, best):
+        slot = c % 2
+
+        @pl.when(c + 1 < cnt)
+        def _():
+            tile_dma((c + 1) % 2, c + 1).start()
+
+        tile_dma(slot, c).wait()
+        t = slab[slot]
+        d2, lab = tile_d2_lab(t)
+
+        def p2(k, best):
+            dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
+            m = jnp.min(dk, axis=1)                    # identical arith to p1
+            upd = jnp.where(rows == k, m[None, :], INF)
+            win = jnp.where((upd <= best) & (rows == k), 1.0, 0.0)
+            onehot = jnp.where(dk == m[:, None], 1.0, 0.0)
+            sel = dot_f32x3(t, onehot, (((1,), (1,)), ((), ())))
+            wacc[:] = wacc[:] + win[:, None, :] * sel[None]
+            return best
+
+        tid = cand_ref[i, c]
+        return jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1, p2, best)
+
+    jax.lax.fori_loop(0, cnt, body2, best0)
+
+    # phase 3: tie-normalize + softmax weights + class reduction — the
+    # body of pallas_estep._reduce_kernel, reading winners from VMEM
+    # scratch instead of a (K, 16, N) HBM intermediate
+    r = rc[:]
+    m_run = jnp.full((qb,), NEG, jnp.float32)
+    s_run = jnp.zeros((qb,), jnp.float32)
+    accA = [jnp.zeros((qb,), jnp.float32) for _ in range(6)]
+    accB = [jnp.zeros((qb,), jnp.float32) for _ in range(3)]
+    accC = jnp.zeros((qb,), jnp.float32)
+
+    for k in range(num_classes):                       # static unroll
+        w = wacc[k]                                    # (NATTR, qb)
+        cntk = w[ROW_CNT]
+        recip = 1.0 / jnp.maximum(cntk, 1.0)
+        x, y, z = w[0] * recip, w[1] * recip, w[2] * recip
+        s00 = w[3] * recip + r[0]
+        s11 = w[4] * recip + r[1]
+        s22 = w[5] * recip + r[2]
+        s01 = w[6] * recip + r[3]
+        s02 = w[7] * recip + r[4]
+        s12 = w[8] * recip + r[5]
         dx, dy, dz = x - vqx, y - vqy, z - vqz
 
         l00 = jnp.sqrt(jnp.maximum(s00, 1e-30))
@@ -116,102 +194,42 @@ def _fused_kernel(cand_ref, count_ref, cmin_ref, cmax_ref,
         e1 = (dy - l10 * e0) / l11
         e2 = (dz - l20 * e0 - l21 * e1) / l22
         maha = e0 * e0 + e1 * e1 + e2 * e2
-        loglik = (-0.5 * (maha + logdet + _LOG_2PI_3)
-                  + ls[pl.ds(k, 1), :][0])
-        # exact re-computed distance gates the correspondence; w[ROW_CNT]
-        # is 1.0 iff a winner exists (normalized one-hot count row)
+        loglik = -0.5 * (maha + logdet + _LOG_2PI_3) + ls[k]
         found = ((dx * dx + dy * dy + dz * dz <= gate2)
-                 & (w[ROW_CNT] > 0.5) & vval)
+                 & (cntk > 0.5) & vval)
         loglik = jnp.where(found, loglik, NEG)
 
-        m_old = soft[_R_M, :]
-        m_new = jnp.maximum(m_old, loglik)
+        m_new = jnp.maximum(m_run, loglik)
         mn_safe = jnp.maximum(m_new, 0.5 * NEG)
-        resc = jnp.exp(m_old - mn_safe)
+        resc = jnp.exp(m_run - mn_safe)
         p = jnp.where(found, jnp.exp(loglik - mn_safe), 0.0)
+        s_run = s_run * resc + p
 
         t0 = i0 * x + i3 * y + i4 * z                  # Sigma^{-1} x
         t1 = i3 * x + i1 * y + i5 * z
         t2 = i4 * x + i5 * y + i2 * z
-        soft[_R_M:_R_M + 1, :] = m_new[None]
-        soft[_R_S:_R_S + 1, :] = (soft[_R_S, :] * resc + p)[None]
         for j, ij in enumerate((i0, i1, i2, i3, i4, i5)):
-            soft[_R_A + j:_R_A + j + 1, :] = (
-                soft[_R_A + j, :] * resc + p * ij)[None]
-        for j, tj in enumerate((t0, t1, t2)):
-            soft[_R_B + j:_R_B + j + 1, :] = (
-                soft[_R_B + j, :] * resc + p * tj)[None]
-        soft[_R_C:_R_C + 1, :] = (
-            soft[_R_C, :] * resc + p * (x * t0 + y * t1 + z * t2))[None]
+            accA[j] = accA[j] * resc + p * ij
+        accB[0] = accB[0] * resc + p * t0
+        accB[1] = accB[1] * resc + p * t1
+        accB[2] = accB[2] * resc + p * t2
+        accC = accC * resc + p * (x * t0 + y * t1 + z * t2)
+        m_run = m_new
 
-    def body(c, run_k):
-        slot = c % 2
-
-        @pl.when(c + 1 < cnt)
-        def _():
-            tile_dma((c + 1) % 2, c + 1).start()
-
-        tile_dma(slot, c).wait()
-        t = slab[slot]                                 # (16, tb)
-        d2 = (vq2[:, None] + t[ROW_T2][None, :]
-              - 2.0 * vqx[:, None] * t[0][None, :]
-              - 2.0 * vqy[:, None] * t[1][None, :]
-              - 2.0 * vqz[:, None] * t[2][None, :])    # (qb, tb)
-        lab = t[ROW_LAB][None, :]
-
-        def class_pass(k, run_k):
-            changed = k != run_k
-
-            @pl.when(changed & (run_k >= 0))
-            def _():
-                flush_run(run_k)
-
-            @pl.when(changed)
-            def _():
-                run_d2[:] = jnp.full_like(run_d2, INF)
-                run_attr[:] = jnp.zeros_like(run_attr)
-
-            dk = jnp.where(lab == k.astype(jnp.float32), d2, INF)
-            m = jnp.min(dk, axis=1)                    # (qb,) exact f32 min
-            better = m[None, :] < run_d2[:]
-            improved = jnp.max(better.astype(jnp.int32)) > 0
-
-            @pl.when(improved if guard else improved | True)
-            def _():
-                onehot = jnp.where(dk == m[:, None], 1.0, 0.0)
-                sel = jax.lax.dot_general(
-                    t, onehot, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # (NATTR, qb)
-                sel = sel * (1.0 / jnp.maximum(sel[ROW_CNT, :], 1.0))[None, :]
-                run_d2[:] = jnp.where(better, m[None, :], run_d2[:])
-                run_attr[:] = jnp.where(better, sel, run_attr[:])
-
-            return k
-
-        tid = cand_ref[i, c]
-        return jax.lax.fori_loop(cmin_ref[tid], cmax_ref[tid] + 1,
-                                 class_pass, run_k)
-
-    run_k = jax.lax.fori_loop(0, cnt, body, jnp.int32(-1))
-
-    @pl.when(run_k >= 0)
-    def _():
-        flush_run(run_k)
-
-    s = soft[_R_S, :]
-    inv_s = jnp.where(s > 0.0, 1.0 / jnp.maximum(s, 1e-30), 0.0)
-    a_out[:] = soft[_R_A:_R_A + 6, :] * inv_s[None, :]
-    b_out[:] = soft[_R_B:_R_B + 3, :] * inv_s[None, :]
-    cw_out[0:1, :] = (soft[_R_C, :] * inv_s)[None]
-    cw_out[1:2, :] = jnp.where(s > 0.0, 1.0, 0.0)[None]
+    inv_s = jnp.where(s_run > 0.0, 1.0 / jnp.maximum(s_run, 1e-30), 0.0)
+    for j in range(6):
+        a_out[j:j + 1, :] = (accA[j] * inv_s)[None]
+    for j in range(3):
+        b_out[j:j + 1, :] = (accB[j] * inv_s)[None]
+    cw_out[0:1, :] = (accC * inv_s)[None]
+    cw_out[1:2, :] = jnp.where(s_run > 0.0, 1.0, 0.0)[None]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_classes", "qb", "interpret", "guard"))
+                   static_argnames=("num_classes", "qb", "interpret"))
 def estep_sparse_fused(prep: dict, q_xyz, q_valid, rc6, log_sem,
                        num_classes: int, gate, qb: int = QB,
-                       interpret: bool = False, guard: bool = True):
+                       interpret: bool = False):
     """One-kernel sparse E-step (see module docstring).
 
     prep: corr.pallas_nn2.prepare_sparse output (cm-sorted target);
@@ -250,12 +268,11 @@ def estep_sparse_fused(prep: dict, q_xyz, q_valid, rc6, log_sem,
     # 13 KB over the 1 MB SMEM cap (measured r5); 24 candidates/tile
     # still never bind at sane densities (bench avg ~11 boxes in gate)
     cap = min(n_tt, max(24, (56 * 1024) // max(n_qt, 1)))
-    # TILE-ID order: the run-accumulator/flush invariant (classes of
-    # successive candidates non-decreasing). The cap drops the highest
-    # tile ids; never binds below ~0.5M-point targets.
+    # nearest-box-first like the NN kernel (the r4 run-accumulator's
+    # tile-id-order invariant is gone: phase 1 is order-independent
+    # min-accumulate, phase 2 is order-independent additive)
     cand, count, _ = tile_candidates(qlo, qhi, prep["lo"], prep["hi"], gate,
-                                     n_cap=cap if cap < n_tt else None,
-                                     by_tid=True)
+                                     n_cap=cap if cap < n_tt else None)
 
     q2 = jnp.sum(q_xyz * q_xyz, axis=0, keepdims=True)
 
@@ -273,15 +290,14 @@ def estep_sparse_fused(prep: dict, q_xyz, q_valid, rc6, log_sem,
         out_specs=(vspec(6), vspec(3), vspec(2)),
         scratch_shapes=[
             pltpu.VMEM((2, NATTR, tb), jnp.float32),   # double-buffered slab
-            pltpu.VMEM((1, qb), jnp.float32),          # run winner d2
-            pltpu.VMEM((NATTR, qb), jnp.float32),      # run winner attrs
-            pltpu.VMEM((_NSOFT, qb), jnp.float32),     # online softmax state
+            pltpu.VMEM((K, qb), jnp.float32),          # phase-1 minima
+            pltpu.VMEM((K, NATTR, qb), jnp.float32),   # winner accumulator
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     a6, b3, cw = pl.pallas_call(
-        functools.partial(_fused_kernel, qb=qb, tb=tb, guard=guard),
+        functools.partial(_fused_kernel, qb=qb, tb=tb, num_classes=K),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((6, q), jnp.float32),
