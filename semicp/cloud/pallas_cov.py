@@ -139,33 +139,54 @@ def neighborhood_moments_xla(xyz, label, valid, radius, qb: int = 512):
 
 
 def _sparse_kernel(cand_ref, count_ref, ctr_ref, r2_ref,
-                   qxyz, qlab, txyz, tlab, out_ref, acc, *, qb, tb):
+                   qxyz, qlab, tslab_hbm, out_ref, slab, sem, *, qb, tb):
+    """Candidate-walk moments (r5): one grid program per query tile, an
+    inner fori over ONLY that tile's candidate tiles with double-
+    buffered (8, tb) slab DMA, and a pure ADDITIVE accumulate into the
+    output block. The previous design ran a dense (n_qt, n_cap) grid
+    with pruned programs predicated off — at 131k points ~85% of the
+    8192 programs were no-ops paying fixed grid overhead (the same v2
+    pathology the NN kernel shed in r3)."""
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+    cnt = count_ref[i]
+    out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(j == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
+    def tile_dma(slot, c):
+        tid = cand_ref[i, c]
+        return pltpu.make_async_copy(
+            tslab_hbm.at[:, pl.ds(tid * tb, tb)], slab.at[slot], sem.at[slot])
 
-    @pl.when(j < count_ref[i])
+    @pl.when(cnt > 0)
     def _():
-        # Center both tiles on the query tile's AABB midpoint: moments
-        # of centered coordinates keep Sxx ~ O(r^2) instead of O(40m^2),
-        # so the f32 cov epilogue (S2/n - mean^2) loses no digits to
-        # cancellation. Covariance is translation-invariant, so the
-        # epilogue needs no un-centering.
-        cx, cy, cz = ctr_ref[i, 0], ctr_ref[i, 1], ctr_ref[i, 2]
-        qx, qy, qz = qxyz[0, :] - cx, qxyz[1, :] - cy, qxyz[2, :] - cz
-        tx, ty, tz = txyz[0, :] - cx, txyz[1, :] - cy, txyz[2, :] - cz
-        q2 = qx * qx + qy * qy + qz * qz               # (qb,)
+        tile_dma(0, 0).start()
+
+    # Center both tiles on the query tile's AABB midpoint: moments of
+    # centered coordinates keep Sxx ~ O(r^2) instead of O(40m^2), so
+    # the f32 cov epilogue (S2/n - mean^2) loses no digits to
+    # cancellation. Covariance is translation-invariant, so the
+    # epilogue needs no un-centering.
+    cx, cy, cz = ctr_ref[i, 0], ctr_ref[i, 1], ctr_ref[i, 2]
+    qx, qy, qz = qxyz[0, :] - cx, qxyz[1, :] - cy, qxyz[2, :] - cz
+    q2 = qx * qx + qy * qy + qz * qz                   # (qb,)
+    vqlab = qlab[0, :]
+
+    def body(c, carry):
+        slot = c % 2
+
+        @pl.when(c + 1 < cnt)
+        def _():
+            tile_dma((c + 1) % 2, c + 1).start()
+
+        tile_dma(slot, c).wait()
+        t = slab[slot]                                 # (8, tb)
+        tx, ty, tz = t[0] - cx, t[1] - cy, t[2] - cz
         t2 = tx * tx + ty * ty + tz * tz               # (tb,)
         d2 = (q2[:, None] + t2[None, :]
               - 2.0 * qx[:, None] * tx[None, :]
               - 2.0 * qy[:, None] * ty[None, :]
               - 2.0 * qz[:, None] * tz[None, :])       # (qb, tb)
-        w = ((d2 < r2_ref[0]) &
-             (qlab[0, :][:, None] == tlab[0, :][None, :])).astype(jnp.float32)
+        w = jnp.where((d2 < r2_ref[0]) &
+                      (vqlab[:, None] == t[3][None, :]), 1.0, 0.0)
         feats = jnp.concatenate([
             jnp.ones((1, tx.shape[0]), jnp.float32),
             tx[None], ty[None], tz[None],
@@ -176,11 +197,11 @@ def _sparse_kernel(cand_ref, count_ref, ctr_ref, r2_ref,
         # O(r^2 + tile^2)-small, and w is exact 0/1 — 3 lossless MXU
         # passes vs HIGHEST's 6-pass f32 emulation
         from semicp.corr.mxu import dot_f32x3
-        acc[:] += dot_f32x3(feats, w, (((1,), (1,)), ((), ())))  # (10, qb)
+        out_ref[:] = out_ref[:] + dot_f32x3(
+            feats, w, (((1,), (1,)), ((), ())))        # (10, qb)
+        return carry
 
-    @pl.when(j == nj - 1)
-    def _():
-        out_ref[:] = acc[:]
+    jax.lax.fori_loop(0, cnt, body, jnp.int32(0))
 
 
 @functools.partial(jax.jit,
@@ -213,6 +234,16 @@ def neighborhood_moments_sparse(xyz, label, valid, radius, num_classes: int,
     assert n % qb == 0 and n % tb == 0, (
         f"moments_sparse: N={n} must be a multiple of qb={qb} and tb={tb}")
 
+    # grid-length SMEM cap (see pallas_nn2): keep <= 1024 programs
+    while n // qb > 1024 and qb < 512:
+        qb *= 2
+    if n // qb > 1024:
+        raise ValueError(
+            f"single-device grid of {n // qb} programs exceeds the ~1024-"
+            "program SMEM bookkeeping cap (~1 KB/program, measured r5): "
+            f"N={n} tops out at 524288 per device — shard the cloud over "
+            "the mesh for larger maps")
+
     qmeta = tile_meta(xyz, label, valid, num_classes, qb)
     tmeta = tile_meta(xyz, label, valid, num_classes, tb)
     cand, count, _ = tile_candidates(
@@ -225,24 +256,27 @@ def neighborhood_moments_sparse(xyz, label, valid, radius, num_classes: int,
     ctr = jnp.where(jnp.isfinite(ctr), ctr, 0.0)       # all-invalid tiles
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
 
-    tlab = jnp.where(valid, label, -1).astype(jnp.int32)
-    qlab = jnp.where(valid, label, -2).astype(jnp.int32)
+    # packed (8, N) target slab — one DMA per candidate tile: xyz rows,
+    # float label row (exact for class ids; -1 = invalid), 4 pad rows
+    tlab = jnp.where(valid, label, -1).astype(jnp.float32)
+    qlab = jnp.where(valid, label, -2).astype(jnp.float32)
+    tslab = jnp.concatenate(
+        [xyz, tlab[None], jnp.zeros((4, n), jnp.float32)], axis=0)
 
-    grid = (n // qb, cand.shape[1])
-    qspec = pl.BlockSpec((3, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
-    qlspec = pl.BlockSpec((1, qb), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((3, tb), lambda i, j, cand, count, ctr, r2: (0, cand[i, j]),
-                         memory_space=pltpu.VMEM)
-    tlspec = pl.BlockSpec((1, tb), lambda i, j, cand, count, ctr, r2: (0, cand[i, j]),
-                          memory_space=pltpu.VMEM)
+    grid = (n // qb,)
+    qspec = pl.BlockSpec((3, qb), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    qlspec = pl.BlockSpec((1, qb), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[qspec, qlspec, tspec, tlspec],
-        out_specs=pl.BlockSpec((NMOM, qb), lambda i, j, *_: (0, i),
+        in_specs=[qspec, qlspec, pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((NMOM, qb), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((NMOM, qb), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, tb), jnp.float32),       # double-buffered slab
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
     out = pl.pallas_call(
@@ -250,7 +284,7 @@ def neighborhood_moments_sparse(xyz, label, valid, radius, num_classes: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NMOM, n), jnp.float32),
         interpret=interpret,
-    )(cand, count, ctr, r2, xyz, qlab[None], xyz, tlab[None])
+    )(cand, count, ctr, r2, xyz, qlab[None], tslab)
     return out
 
 

@@ -578,6 +578,12 @@ def class_nn_attrs_sparse(prep: dict, q_xyz, q_valid, num_classes: int,
     # (ring/DP) instead of widening further (qb=1024 fails compile).
     while q // qb > 1024 and qb < 512:
         qb *= 2
+    if q // qb > 1024:
+        raise ValueError(
+            f"single-device grid of {q // qb} programs exceeds the ~1024-"
+            "program SMEM bookkeeping cap (~1 KB/program, measured r5): "
+            f"Q={q} tops out at 524288 per device — shard queries over "
+            "the mesh (semicp.dist ring/DP) for larger clouds")
     assert q % qb == 0, (
         f"class_nn_attrs_sparse: Q={q} must be a multiple of the query "
         f"block qb={qb} (pad queries to a power of two >= {qb})")
