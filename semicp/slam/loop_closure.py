@@ -93,10 +93,15 @@ class LoopVerifier:
         from semicp.dist import batched_align, make_mesh
 
         self.cfg = cfg
-        self.n_dev = len(jax.devices())
         c = max(cfg.slam.lc_max_candidates, 1)
+        # no more devices than candidates: an 8-device mesh would pad a
+        # 3-candidate batch to 8 EM aligns — wasted compute everywhere,
+        # and on the virtual CPU test mesh (devices timeshare one host)
+        # a measured suite slowdown
+        self.n_dev = min(len(jax.devices()), c)
         self.batch = -(-c // self.n_dev) * self.n_dev
-        self.mesh = make_mesh({"pairs": self.n_dev})
+        self.mesh = make_mesh({"pairs": self.n_dev},
+                              devices=jax.devices()[:self.n_dev])
         self.align_b = batched_align(self.mesh, cfg)
 
     def verify(self, store: KeyframeStore, cands: list[int], j: int,

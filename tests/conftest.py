@@ -31,6 +31,16 @@ import jax  # noqa: E402
 if not TPU_LANE:
     jax.config.update("jax_platforms", "cpu")
 
+if os.environ.get("SEMICP_TEST_COMPILE_CACHE", "1") != "0":
+    # Persistent XLA compile cache for the suite: entries are keyed by
+    # HLO content hash, so stale entries cannot be wrong-by-content —
+    # they just stop hitting when code changes. The suite is compile-
+    # dominated (~9 min cold at -n 4); warm runs reclaim most of it.
+    # Opt out with SEMICP_TEST_COMPILE_CACHE=0.
+    from semicp.cli.common import setup_jax
+
+    setup_jax(os.path.expanduser("~/.cache/semicp_xla_test"))
+
 if os.environ.get("SEMICP_DEBUG_NANS") == "1":
     # Numeric-sanitization lane (SURVEY.md §5 "race detection /
     # sanitizers"): every jitted program traps on the first NaN it

@@ -34,6 +34,8 @@ WORKER = textwrap.dedent(
     import numpy as np
     from jax.sharding import PartitionSpec as P
     sys.path.insert(0, %r)
+    from semicp.cli.common import setup_jax
+    setup_jax()          # persistent compile cache for worker programs
     from semicp.dist import make_mesh
 
     assert jax.process_count() == 2, jax.process_count()
@@ -126,6 +128,8 @@ WORKER_PROGRAM = textwrap.dedent(
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
     sys.path.insert(0, %r)
+    from semicp.cli.common import setup_jax
+    setup_jax()          # persistent compile cache for worker programs
     from semicp import Config
     from semicp.cloud import make_cloud, preprocess_cloud
     from semicp.corr.pallas_nn2 import class_nn_attrs_xla
