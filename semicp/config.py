@@ -58,7 +58,11 @@ class CorrConfig:
     engine: str = "auto"        # auto | dense | sparse | xla
     max_dist: float = 2.0       # max correspondence distance gate (m)
     cell: float = 2.0           # Morton quantization cell (locality only, not correctness)
-    sparse_min_n: int = 16384   # auto: use the block-sparse kernel at/above this n_pad
+    sparse_min_n: int = 4096    # auto: block-sparse kernel at/above this n_pad
+                                # (r5 on-chip crossover: sparse 3.5 vs dense
+                                # 16.4 ms/align at 4096; dense still wins at
+                                # 2048 where the candidate walk's fixed cost
+                                # exceeds one small dense grid)
 
 
 @dataclass(frozen=True)
