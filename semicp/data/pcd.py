@@ -7,11 +7,12 @@ scripts write KITTI scans as labeled `.pcd` (SURVEY.md §2.1 rows
 migrating from the reference has `.pcd` data on disk; this module reads
 and writes it host-side in numpy, no PCL dependency.
 
-Supported: ASCII and `binary` DATA encodings, arbitrary field subsets
-(we consume x/y/z and, when present, an integer `label` field — the
-PointXYZL layout). `binary_compressed` (LZF) is intentionally not
-supported: the reference toolchain never emits it for XYZL clouds, and
-an informative error beats a silent misparse.
+Supported: ASCII, `binary`, and `binary_compressed` (LZF) DATA
+encodings, arbitrary field subsets (we consume x/y/z and, when present,
+an integer `label` field — the PointXYZL layout). binary_compressed
+reading matches pcl::io::loadPCDFile's layout: two uint32 sizes, an LZF
+stream, and FIELD-MAJOR (SoA) uncompressed content; the decompressor is
+pure Python (a loader-path cost only). Writing emits ascii/binary.
 """
 
 from __future__ import annotations
@@ -25,6 +26,45 @@ _PCD_DTYPES = {
     ("I", 1): np.int8, ("I", 2): np.int16, ("I", 4): np.int32,
     ("U", 1): np.uint8, ("U", 2): np.uint16, ("U", 4): np.uint32,
 }
+
+
+def _lzf_decompress(src: bytes, expected: int) -> bytes:
+    """Decompress a libLZF stream (the PCD binary_compressed codec).
+
+    Control bytes < 32 are literal runs of ctrl+1 bytes; otherwise a
+    back-reference of (ctrl >> 5) + 2 bytes (+1 extension byte when the
+    3-bit length saturates) at offset ((ctrl & 0x1f) << 8) + next + 1.
+    Overlapping back-references copy byte-serially (run replication).
+    """
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        ctrl = src[i]
+        i += 1
+        if ctrl < 32:
+            run = ctrl + 1
+            if i + run > n:
+                raise ValueError("PCD: truncated LZF literal run")
+            out += src[i:i + run]
+            i += run
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                length += src[i]
+                i += 1
+            length += 2
+            ref = len(out) - ((ctrl & 0x1F) << 8) - src[i] - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("PCD: corrupt LZF stream (bad back-reference)")
+            for _ in range(length):
+                out.append(out[ref])
+                ref += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PCD: LZF stream decompressed to {len(out)} bytes but the "
+            f"header declares {expected}")
+    return bytes(out)
 
 
 def _parse_header(fh) -> dict:
@@ -97,9 +137,34 @@ def load_pcd(path) -> tuple[np.ndarray, np.ndarray | None]:
             for i, (name, _) in enumerate(np_fields):
                 rec[name] = txt[:, i]
         elif data == "binary_compressed":
-            raise ValueError(
-                f"{path}: binary_compressed PCD (LZF) is not supported; "
-                "re-save as ascii or binary (pcl_convert_pcd_ascii_binary)")
+            sizes_hdr = fh.read(8)
+            if len(sizes_hdr) != 8:
+                raise ValueError(f"{path}: truncated binary_compressed sizes")
+            comp_size, uncomp_size = np.frombuffer(sizes_hdr, np.uint32)
+            comp = fh.read(int(comp_size))
+            if len(comp) != int(comp_size):
+                raise ValueError(
+                    f"{path}: binary_compressed data truncated "
+                    f"({len(comp)} of {int(comp_size)} bytes)")
+            raw = _lzf_decompress(comp, int(uncomp_size))
+            # PCL writes the uncompressed section FIELD-MAJOR (SoA): for
+            # each field in order, all N points' values consecutively
+            rec = np.empty(n, dtype=dtype)
+            off = 0
+            for name, size, typ, cnt in zip(fields, sizes, types, counts):
+                dt = _PCD_DTYPES[(typ.upper(), size)]
+                block = np.frombuffer(raw, dtype=dt, count=n * cnt, offset=off)
+                off += size * cnt * n
+                if cnt == 1:
+                    rec[name] = block
+                else:
+                    block = block.reshape(n, cnt)
+                    for c in range(cnt):
+                        rec[f"{name}{c}"] = block[:, c]
+            if off != int(uncomp_size):
+                raise ValueError(
+                    f"{path}: binary_compressed field layout holds {off} "
+                    f"bytes but the stream decompressed to {int(uncomp_size)}")
         else:
             raise ValueError(f"{path}: unknown DATA encoding {data!r}")
 

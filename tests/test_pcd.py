@@ -77,14 +77,62 @@ def test_extra_fields_ignored(tmp_path):
     assert xyz.shape == (2, 3)
 
 
-def test_binary_compressed_rejected(tmp_path):
+def _lzf_compress_literals(buf: bytes) -> bytes:
+    """Minimal VALID LZF stream: literal runs only (every libLZF
+    decoder accepts it; PCL's own compressor just adds back-refs)."""
+    out = bytearray()
+    for i in range(0, len(buf), 32):
+        chunk = buf[i:i + 32]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def test_binary_compressed_roundtrip(tmp_path):
+    """PCL-style binary_compressed XYZL: two uint32 sizes + LZF stream
+    of FIELD-MAJOR content must load identically to plain binary."""
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(37, 3)).astype(np.float32)
+    lab = rng.integers(0, 6, size=37).astype(np.uint32)
+    # field-major (SoA): all x, all y, all z, all label
+    raw = (xyz[:, 0].tobytes() + xyz[:, 1].tobytes()
+           + xyz[:, 2].tobytes() + lab.tobytes())
+    comp = _lzf_compress_literals(raw)
+    body = (
+        "VERSION 0.7\nFIELDS x y z label\nSIZE 4 4 4 4\nTYPE F F F U\n"
+        "COUNT 1 1 1 1\nWIDTH 37\nHEIGHT 1\nPOINTS 37\n"
+        "DATA binary_compressed\n"
+    )
+    p = tmp_path / "z.pcd"
+    p.write_bytes(body.encode()
+                  + np.asarray([len(comp), len(raw)], np.uint32).tobytes()
+                  + comp)
+    pts, labels = load_pcd(p)
+    np.testing.assert_allclose(pts, xyz)
+    np.testing.assert_array_equal(labels, lab.astype(np.int32))
+
+
+def test_lzf_back_reference_and_errors(tmp_path):
+    from semicp.data.pcd import _lzf_decompress
+
+    # literal "abc" + back-ref: ctrl = (len-2)<<5 | off_hi, then off_lo;
+    # offset = (off_hi<<8) + off_lo + 1. Copy 4 bytes from 3 back ->
+    # replicates "abc" overlappingly: abc + abca = "abcabca"
+    stream = bytes([2]) + b"abc" + bytes([(4 - 2) << 5, 2])
+    assert _lzf_decompress(stream, 7) == b"abcabca"
+    with pytest.raises(ValueError, match="decompressed"):
+        _lzf_decompress(stream, 9)
+    with pytest.raises(ValueError, match="back-reference"):
+        _lzf_decompress(bytes([1 << 5, 200]), 5)
+    # truncated compressed payload surfaces loudly through load_pcd
     body = (
         "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
         "WIDTH 1\nHEIGHT 1\nPOINTS 1\nDATA binary_compressed\n"
     )
-    p = tmp_path / "z.pcd"
-    p.write_bytes(body.encode() + b"\x00" * 16)
-    with pytest.raises(ValueError, match="binary_compressed"):
+    p = tmp_path / "t.pcd"
+    p.write_bytes(body.encode()
+                  + np.asarray([99, 12], np.uint32).tobytes() + b"\x00" * 4)
+    with pytest.raises(ValueError, match="truncated"):
         load_pcd(p)
 
 
