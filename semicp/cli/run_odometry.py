@@ -45,7 +45,26 @@ def build_parser():
                          "host IO runs this many scans ahead and device "
                          "preprocess is dispatched async; 0 = serial "
                          "(identical results either way)")
+    ap.add_argument("--gt", default=None,
+                    help="KITTI ground-truth poses.txt: evaluate ATE/RPE "
+                         "against it (the reference workflow's offline "
+                         "devkit/evo step, built in)")
+    ap.add_argument("--calib", default=None,
+                    help="KITTI calib.txt with a Tr line: --gt poses are "
+                         "camera-frame; Tr^-1 P Tr moves them into the "
+                         "velodyne frame this driver estimates in")
     return ap
+
+
+def load_gt_traj(gt_path, calib_path=None):
+    """Ground-truth trajectory in the velodyne frame, (N, 4, 4)."""
+    from semicp.data import load_kitti_calib, load_kitti_poses
+
+    gt = load_kitti_poses(gt_path)
+    if calib_path:
+        Tr = load_kitti_calib(calib_path)
+        gt = np.linalg.inv(Tr)[None] @ gt @ Tr[None]
+    return gt
 
 
 def synthetic_frames(n_frames, n_points, seed=0):
@@ -93,6 +112,9 @@ def run_odometry(args, cfg: Config):
                 return None
             b, l = item
             return load_scan_np(b, l, args.voxel)
+
+        if getattr(args, "gt", None):
+            gt_traj = load_gt_traj(args.gt, getattr(args, "calib", None))
 
     start_frame = 0
     if args.resume and out_path.exists():

@@ -81,6 +81,11 @@ def build_parser():
                          "(dist/align_dist.py), and finish with a "
                          "distributed Schur-complement map BA "
                          "(slam/map_ba.py). Implies --scan-to-map.")
+    ap.add_argument("--gt", default=None,
+                    help="KITTI ground-truth poses.txt for ATE/RPE")
+    ap.add_argument("--calib", default=None,
+                    help="KITTI calib.txt (Tr): move --gt into the "
+                         "velodyne frame before evaluation")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max-keyframes", type=int, default=256)
@@ -214,6 +219,10 @@ def run_slam(args, cfg: Config):
     else:
         from semicp.cli.common import sequence_frames
 
+        if getattr(args, "gt", None):
+            from semicp.cli.run_odometry import load_gt_traj
+
+            gt_traj = load_gt_traj(args.gt, getattr(args, "calib", None))
         seq = sequence_frames(args.seq)
         if args.max_frames:
             seq = seq[: args.max_frames]

@@ -77,3 +77,54 @@ def test_odometry_resume(tmp_path):
     assert resumed.shape == full.shape
     # prefix must be preserved bit-for-bit
     np.testing.assert_allclose(resumed[:4], full[:4], atol=1e-12)
+
+
+def test_odometry_gt_eval_on_kitti_sequence(tmp_path, rng):
+    """--gt/--calib: real-sequence mode evaluates ATE against KITTI
+    ground truth transformed into the velodyne frame (the reference
+    workflow's offline devkit/evo step, built in)."""
+    import jax.numpy as jnp
+
+    from semicp.cli.run_odometry import build_parser, run_odometry
+    from semicp.data import make_scene, render_scan, save_kitti_poses
+    from semicp.geom.se3 import se3_exp
+
+    scene, labels = make_scene(rng, n_points=4000, extent=15.0)
+    labels = labels - 1
+    step = np.asarray(se3_exp(jnp.asarray(
+        np.array([0.5, 0, 0, 0, 0, 0.02], np.float32))), np.float64)
+    traj = [np.eye(4)]
+    for _ in range(5):
+        traj.append(traj[-1] @ step)
+    traj = np.stack(traj)
+
+    seq = tmp_path / "seq"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "labels").mkdir()
+    for i, pose in enumerate(traj):
+        pts, lab = render_scan(rng, scene, labels, pose, max_range=14.0,
+                               max_points=1200)
+        arr = np.zeros((len(pts), 4), np.float32)
+        arr[:, :3] = pts
+        arr.tofile(seq / "velodyne" / f"{i:06d}.bin")
+        # SemanticKITTI: lower 16 bits label id (raw ids; loader remaps)
+        (lab.astype(np.uint32)).tofile(seq / "labels" / f"{i:06d}.label")
+
+    # gt poses in a fake CAMERA frame: P_cam = Tr P_velo Tr^-1
+    Tr = np.eye(4)
+    Tr[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float64)
+    save_kitti_poses(tmp_path / "gt.txt", Tr[None] @ traj @ np.linalg.inv(Tr)[None])
+    with open(tmp_path / "calib.txt", "w") as f:
+        f.write("Tr: " + " ".join(str(v) for v in Tr[:3, :].reshape(-1)) + "\n")
+
+    args = build_parser().parse_args([
+        "--seq", str(seq), "--voxel", "0", "--gt", str(tmp_path / "gt.txt"),
+        "--calib", str(tmp_path / "calib.txt"),
+        "--out", str(tmp_path / "poses.txt")])
+    from semicp.config import Config
+
+    out, _timer = run_odometry(args, Config().override({
+        "cloud.n_pad": 2048, "cloud.num_classes": 8, "em.max_iters": 10}))
+    assert out["frames"] == 6
+    assert "ate_rmse_m" in out, out.keys()
+    assert out["ate_rmse_m"] < 0.2, out["ate_rmse_m"]
