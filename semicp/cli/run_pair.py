@@ -40,7 +40,22 @@ def build_parser():
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the steady-state "
                          "aligns into DIR (TensorBoard/perfetto format)")
+    ap.add_argument("--t-init", default=None, metavar="T",
+                    help="initial guess: 16 (4x4 row-major) or 12 (3x4 "
+                         "KITTI row) whitespace/comma-separated floats — "
+                         "the reference align(target, init_T) surface")
     return ap
+
+
+def parse_t_init(text: str) -> np.ndarray:
+    vals = np.array([float(v) for v in text.replace(",", " ").split()],
+                    np.float32)
+    if vals.size == 12:
+        vals = np.concatenate([vals, np.array([0, 0, 0, 1], np.float32)])
+    if vals.size != 16:
+        raise ValueError(
+            f"--t-init needs 12 or 16 floats, got {vals.size}")
+    return vals.reshape(4, 4)
 
 
 def main(argv=None):
@@ -75,20 +90,21 @@ def main(argv=None):
         tgt = to_device_cloud(tgt_pts, tgt_lab, cfg)
         drain((src.cov6, tgt.cov6))
 
+    T0 = parse_t_init(args.t_init) if args.t_init else None
     align_fn = make_align_fn(cfg)
     with timer.phase("compile+first_align"):
-        res = align_fn(src, tgt)
+        res = align_fn(src, tgt, T0)
         drain(res.T)
     if args.profile:
         # SURVEY.md §5 tracing: capture the steady-state align under the
         # profiler (block_until_ready discipline for honest spans)
         with jax.profiler.trace(args.profile):
-            res = align_fn(src, tgt)
+            res = align_fn(src, tgt, T0)
             drain(res.T)
         print(f"profile written to {args.profile}", file=sys.stderr)
     for _ in range(args.repeat - 1):
         with timer.phase("align"):
-            res = align_fn(src, tgt)
+            res = align_fn(src, tgt, T0)
             drain(res.T)
 
     T = np.asarray(res.T, np.float64)
