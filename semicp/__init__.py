@@ -7,7 +7,7 @@ Expectation-Maximization, Parkison et al., BMVC 2018; see SURVEY.md).
 Layer map (bottom-up):
   geom/      SE(3) Lie group math, closed-form 3x3 symmetric eigensolver
   cloud/     padded SoA point-cloud containers + GICP covariance estimation
-  corr/      voxel-grid-hash correspondence engine (XLA + Pallas kernels)
+  corr/      class-major Morton layout + block-sparse NN kernels (Pallas)
   register/  EM semantic registration core (E-step weights, GN/LM M-step)
   oracle/    CPU-numpy reference implementation (parity oracle + baseline)
   data/      KITTI / SemanticKITTI ingestion, synthetic generators
@@ -33,3 +33,5 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from semicp.config import Config, default_config  # noqa: F401, E402
+from semicp.cloud import Cloud, make_cloud, preprocess_cloud  # noqa: F401, E402
+from semicp.register import align, make_align_fn  # noqa: F401, E402
